@@ -1,0 +1,118 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.functions.phash import mix64
+from well_duplicates_ray.functions.text import (
+    SENTINEL,
+    exact_jaccard,
+    flat_utf8,
+    lsh_band_keys,
+    minhash_params,
+    minhash_signatures,
+    shingle_hashes,
+    simhash_from_shingles,
+    winnow_fingerprints,
+)
+
+CFG = DedupConfig()
+
+
+def test_flat_utf8_arrow_and_python():
+    strs = ["hello", "", "worldly"]
+    f1, o1 = flat_utf8(strs)
+    f2, o2 = flat_utf8(pa.array(strs))
+    assert bytes(f1[o1[0]:o1[-1]]) == b"helloworldly"
+    assert np.array_equal(np.diff(o1), np.diff(o2))
+    # sliced arrow array (non-zero offset)
+    f3, o3 = flat_utf8(pa.array(["xx"] + strs).slice(1))
+    assert np.array_equal(np.diff(o3), np.diff(o1))
+    assert bytes(f3[o3[0]:o3[-1]]) == b"helloworldly"
+
+
+def test_shingle_hashes_counts_and_equality():
+    vals, offs = shingle_hashes(["abcdefg", "abc", "xabcdefgx"], 5)
+    counts = np.diff(offs).tolist()
+    assert counts == [3, 0, 5]
+    # identical substrings hash identically across rows
+    a = vals[offs[0]:offs[1]]
+    c = vals[offs[2]:offs[3]]
+    assert set(a.tolist()) <= set(c.tolist())
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(7)
+    base = " ".join(chr(97 + int(x)) * 3 for x in rng.integers(0, 26, 60))
+    variant = base[:int(len(base) * 0.8)] + " zz qq pp"
+    other = " ".join(chr(97 + int(x)) * 3 for x in rng.integers(0, 26, 60))
+    vals, offs = shingle_hashes([base, variant, other], CFG.shingle_k)
+    a, b = minhash_params(CFG.minhash_perms, CFG.seed)
+    sig = minhash_signatures(vals, offs, a, b)
+    true_j = exact_jaccard(vals[offs[0]:offs[1]], vals[offs[1]:offs[2]])
+    est = (sig[0] == sig[1]).mean()
+    assert abs(est - true_j) < 0.15
+    assert (sig[0] == sig[2]).mean() < 0.3
+
+
+def test_minhash_empty_rows_sentinel():
+    vals, offs = shingle_hashes(["", "abc", "abcdefgh"], 5)
+    a, b = minhash_params(16, 1)
+    sig = minhash_signatures(vals, offs, a, b)
+    assert (sig[0] == SENTINEL).all() and (sig[1] == SENTINEL).all()
+    assert not (sig[2] == SENTINEL).all()
+
+
+def test_simhash_similar_vs_different():
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    far = "completely unrelated caption about mountains and rivers flowing"
+    vals, offs = shingle_hashes([base, near, far], CFG.shingle_k)
+    sh = simhash_from_shingles(vals, offs)
+    from well_duplicates_ray.functions.phash import hamming64
+
+    d_near = hamming64(sh[:1], sh[1:2])[0]
+    d_far = hamming64(sh[:1], sh[2:3])[0]
+    assert d_near < d_far
+    assert simhash_from_shingles(*shingle_hashes([""], 5))[0] == SENTINEL
+
+
+def test_winnowing_guarantee():
+    """Any pair sharing a substring >= substring_min_len must share a
+    fingerprint value (the winnowing guarantee the substring pass rests on)."""
+    rng = np.random.default_rng(11)
+    cfg = CFG
+    for trial in range(30):
+        letters = "abcdefghijklmnopqrstuvwxyz "
+        mk = lambda n: "".join(rng.choice(list(letters), n))
+        run = mk(cfg.substring_min_len + int(rng.integers(0, 10)))
+        s1 = mk(int(rng.integers(0, 40))) + run + mk(int(rng.integers(0, 40)))
+        s2 = mk(int(rng.integers(0, 40))) + run + mk(int(rng.integers(0, 40)))
+        v, o = winnow_fingerprints([s1, s2], cfg.winnow_gram, cfg.winnow_window)
+        f1 = set(v[o[0]:o[1]].tolist())
+        f2 = set(v[o[1]:o[2]].tolist())
+        assert f1 & f2, f"trial {trial}: no shared fingerprint"
+
+
+def test_winnowing_short_strings_empty():
+    v, o = winnow_fingerprints(["short", ""], 16, 9)
+    assert v.size == 0 and np.diff(o).tolist() == [0, 0]
+
+
+def test_lsh_band_keys_shapes_and_sentinel():
+    rng = np.random.default_rng(5)
+    sig = rng.integers(0, 2**63, size=(3, 8), dtype=np.uint64)
+    sig[1] = SENTINEL
+    keys = lsh_band_keys(sig, bands=2, rows=4, mixer=mix64)
+    assert keys.shape == (3, 2)
+    assert (keys[1] == SENTINEL).all()
+    # identical signatures -> identical keys; different -> different
+    keys2 = lsh_band_keys(sig, bands=2, rows=4, mixer=mix64)
+    assert np.array_equal(keys, keys2)
+    assert not np.array_equal(keys[0], keys[2])
+
+
+def test_exact_jaccard_edges():
+    assert exact_jaccard(np.array([], np.uint64), np.array([], np.uint64)) == 1.0
+    assert exact_jaccard(np.array([1], np.uint64), np.array([], np.uint64)) == 0.0
+    assert exact_jaccard(np.array([1, 2], np.uint64), np.array([2, 3], np.uint64)) == pytest.approx(1 / 3)

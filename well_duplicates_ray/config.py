@@ -1,0 +1,97 @@
+"""Shared shingle/signature configuration (FIXTURES.md §F2).
+
+One config object is consumed by the engine, the brute-force oracle and
+the fixture generator, so the "same shingle/signature config" clause of
+BASELINE.json's north_rule holds by construction: the engine's clusters
+are compared against an oracle that uses the *identical* parameters.
+
+The reference analogue is the CLI parameter set of
+``count_well_duplicates.py`` (upstream ``EdinburghGenomics/well_duplicates``:
+cycle window start/length, edit-distance threshold, neighbor levels —
+SURVEY.md §2 R12): a small set of numbers that fully determines what
+counts as a duplicate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- caption shingling / MinHash-LSH ---------------------------------
+    shingle_k: int = 5            # char (byte) shingle length
+    minhash_perms: int = 128      # P signature length
+    lsh_bands: int = 32           # b
+    lsh_rows: int = 4             # r ; b*r == minhash_perms
+    jaccard_threshold: float = 0.7
+    # recall at s = 1-(1-s^r)^b : s=0.7 -> 0.9998 with (b=32, r=4).
+    # (b=16, r=8) would give only ~0.61 at s=0.7 — insufficient for the
+    # >=0.99 dup-pair recall requirement, hence r=4.
+
+    # --- pHash Hamming rings (the reference's "levels" analogue) ---------
+    phash_radius: int = 3         # max Hamming distance counted as near-dup
+    phash_bands: int = 4          # 4 x 16-bit prefix bands; pigeonhole
+                                  # guarantees any pair with Hamming<=3
+                                  # shares at least one exact band
+
+    # --- SimHash fingerprint (additional candidate generator) ------------
+    simhash_bits: int = 64
+    simhash_bands: int = 4        # same prefix-band trick as pHash
+    simhash_radius: int = 3
+
+    # --- exact-substring (suffix-array) pass -----------------------------
+    substring_min_len: int = 24   # L: common substring >= L chars => dup
+    winnow_gram: int = 16         # kg-gram size for winnowing fingerprints
+    # winnowing window w = L - kg + 1 guarantees every common substring of
+    # length >= L shares at least one selected fingerprint (Schleimer,
+    # Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+    # Fingerprinting", SIGMOD 2003)
+
+    # --- exact-dup short circuit -----------------------------------------
+    exact_caption_dup: bool = True  # identical captions count as dups
+                                    # (covers no-shingle degenerate captions)
+
+    # --- skew / bucket handling ------------------------------------------
+    bucket_pair_cap: int = 128    # groups larger than this emit star pairs
+                                  # (min-id hub) instead of all-pairs; the
+                                  # transitive closure is preserved, drops
+                                  # are logged — no silent truncation
+
+    # --- execution -------------------------------------------------------
+    seed: int = 42
+    batch_size: int = 4096
+    decode_concurrency: int = 4   # actor-pool size for decode/verify pools
+    broadcast_threshold: int = 2_000_000  # rows; feature side smaller than
+                                          # this is ray.put-broadcast for the
+                                          # pair join, else shuffle hash-join
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.minhash_perms:
+            raise ValueError("lsh_bands * lsh_rows must equal minhash_perms")
+        if 64 % self.phash_bands != 0 or 64 % self.simhash_bands != 0:
+            raise ValueError("band counts must divide 64")
+        if self.phash_bands < self.phash_radius + 1:
+            raise ValueError(
+                "need phash_bands >= radius+1 for the pigeonhole guarantee")
+        if self.winnow_gram >= self.substring_min_len:
+            raise ValueError("winnow_gram must be < substring_min_len")
+
+    @property
+    def winnow_window(self) -> int:
+        return self.substring_min_len - self.winnow_gram + 1
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DedupConfig":
+        return cls(**d)
+
+
+DEFAULT_CONFIG = DedupConfig()

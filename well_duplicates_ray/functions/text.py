@@ -1,0 +1,276 @@
+"""Vectorized caption/text kernels: byte shingles, MinHash, SimHash,
+winnowing fingerprints.
+
+These are the engine's analogue of the reference's windowed sequence
+extraction (``count_well_duplicates.py`` pulls a fixed cycle window per
+well and compares neighbor sequences — SURVEY.md §2 R9): a caption is
+"windowed" into k-byte shingles, sketched with MinHash / SimHash, and
+anchored with winnowed L-gram fingerprints for the exact-substring pass.
+
+All kernels operate on the *flat UTF-8 buffer* of an Arrow string column
+(zero-copy where possible) — no per-row Python in the hot path. Rolling
+hashes use uint64 wraparound polynomial hashing; MinHash permutations are
+(a*x + b) multiply-add hashes over uint64 (Dietzfelbinger-style
+multiply-shift universality is sufficient for sketch quality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_B = np.uint64(1099511628211)       # FNV-ish odd multiplier for rolling hash
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def flat_utf8(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Return (flat uint8 buffer, int64 offsets[n+1]) for a string column.
+
+    Accepts a pyarrow (Chunked)Array, numpy array of str, or list of str.
+    The Arrow path is zero-copy on the data buffer.
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if isinstance(strings, pa.Array):
+        arr = strings.cast(pa.large_utf8())
+        # null -> empty string (degenerate captions route to the exact path)
+        if arr.null_count:
+            arr = arr.fill_null("")
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+        # normalize to offsets starting at 0 without copying data
+        return data, offsets
+    # python / numpy fallback
+    bs = [(s if isinstance(s, str) else "").encode("utf-8") for s in strings]
+    offsets = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bs], out=offsets[1:])
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    return flat, offsets
+
+
+def _rolling_hash(flat: np.ndarray, k: int) -> np.ndarray:
+    """uint64 polynomial hash of every k-byte window of ``flat``.
+
+    Returns array of length max(0, len(flat)-k+1); H[i] covers flat[i:i+k].
+    k sequential vectorized passes — O(k * n), k is 5 or 16.
+    """
+    n = flat.size
+    m = n - k + 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _B + flat[j : j + m].astype(np.uint64)
+    # finalize so nearby windows decorrelate across the full 64 bits
+    acc ^= acc >> np.uint64(33)
+    acc *= np.uint64(0xFF51AFD7ED558CCD)
+    acc ^= acc >> np.uint64(33)
+    return acc
+
+
+def _window_rows(offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row counts and output offsets of k-windows that fit inside rows."""
+    lens = np.diff(offsets)
+    counts = np.maximum(lens - k + 1, 0)
+    out_offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+    return counts, out_offsets
+
+
+def shingle_hashes(strings, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every k-byte shingle of every row.
+
+    Returns (values: uint64 flat array, out_offsets: int64[n+1]) where row
+    r's shingle hashes are values[out_offsets[r]:out_offsets[r+1]].
+    Rows shorter than k bytes contribute zero shingles.
+    """
+    flat, offsets = flat_utf8(strings)
+    base = offsets[0]
+    all_h = _rolling_hash(flat[base : offsets[-1]], k)
+    counts, out_offsets = _window_rows(offsets, k)
+    if all_h.size == 0 or out_offsets[-1] == 0:
+        return np.zeros(0, dtype=np.uint64), out_offsets
+    # gather the in-row windows: for row r, starts offsets[r]..offsets[r+1]-k
+    starts = np.repeat(offsets[:-1] - base, counts)
+    within = _segment_arange(counts)
+    return all_h[starts + within], out_offsets
+
+
+def _segment_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(total, dtype=np.int64)
+    return idx - np.repeat(ends - counts, counts)
+
+
+def minhash_params(perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) banks for `perms` multiply-add hash permutations."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=perms, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    values: np.ndarray,
+    out_offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_elems: int = 1 << 22,
+) -> np.ndarray:
+    """MinHash signatures per row from flat shingle hashes.
+
+    Returns (n_rows, perms) uint64. Rows with zero shingles get the
+    all-ones SENTINEL signature (never collides into an LSH bucket).
+    Fully vectorized via minimum.reduceat over row segments, chunked so
+    the (elems x perms) intermediate stays ~256 MB max.
+    """
+    n = len(out_offsets) - 1
+    perms = len(a)
+    sig = np.full((n, perms), _SENTINEL, dtype=np.uint64)
+    counts = np.diff(out_offsets)
+    nz = np.flatnonzero(counts)
+    if nz.size == 0:
+        return sig
+    # process runs of non-empty rows in chunks of flat elements
+    row_chunks: list[np.ndarray] = []
+    cur: list[int] = []
+    budget = max(chunk_elems // perms, 1024)
+    acc = 0
+    for r in nz:
+        c = int(counts[r])
+        if acc + c > budget and cur:
+            row_chunks.append(np.array(cur))
+            cur, acc = [], 0
+        cur.append(r)
+        acc += c
+    if cur:
+        row_chunks.append(np.array(cur))
+    for rows in row_chunks:
+        segs = [values[out_offsets[r] : out_offsets[r + 1]] for r in rows]
+        flat = np.concatenate(segs)
+        h = flat[:, None] * a[None, :] + b[None, :]          # (M, perms) u64
+        seg_counts = counts[rows]
+        starts = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum(seg_counts[:-1], out=starts[1:])
+        sig[rows] = np.minimum.reduceat(h, starts, axis=0)
+    return sig
+
+
+def simhash_from_shingles(
+    values: np.ndarray, out_offsets: np.ndarray, chunk_elems: int = 1 << 22
+) -> np.ndarray:
+    """64-bit SimHash per row (Charikar 2002): sign of the per-bit sum of
+    +-1 votes from each shingle hash. Zero-shingle rows get SENTINEL."""
+    n = len(out_offsets) - 1
+    out = np.full(n, _SENTINEL, dtype=np.uint64)
+    counts = np.diff(out_offsets)
+    nz = np.flatnonzero(counts)
+    if nz.size == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    start = 0
+    while start < len(nz):
+        # chunk rows so (elems x 64) int8 intermediate stays bounded
+        end = start
+        acc = 0
+        budget = max(chunk_elems // 64, 1024)
+        while end < len(nz) and (acc == 0 or acc + counts[nz[end]] <= budget):
+            acc += int(counts[nz[end]])
+            end += 1
+        rows = nz[start:end]
+        flat = np.concatenate([values[out_offsets[r] : out_offsets[r + 1]] for r in rows])
+        bits = ((flat[:, None] >> shifts[None, :]) & one).astype(np.int8)
+        votes = bits * 2 - 1                                  # (M, 64) in {-1,+1}
+        seg_counts = counts[rows]
+        starts = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum(seg_counts[:-1], out=starts[1:])
+        sums = np.add.reduceat(votes.astype(np.int32), starts, axis=0)
+        code = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        out[rows] = code
+        start = end
+    return out
+
+
+def winnow_fingerprints(
+    strings, gram: int, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Selects the minimum gram-hash in every sliding window of ``window``
+    consecutive gram hashes. Guarantee: two strings sharing a substring of
+    length >= gram + window - 1 (= substring_min_len) share at least one
+    selected fingerprint *value* — so bucketing on fingerprints finds every
+    qualifying pair (SURVEY.md §2 G12 candidate generation).
+
+    Returns (values uint64 flat, out_offsets int64[n+1]); consecutive
+    duplicate selections within a row are deduplicated.
+    """
+    flat, offsets = flat_utf8(strings)
+    base = offsets[0]
+    grams = _rolling_hash(flat[base : offsets[-1]], gram)
+    lens = np.diff(offsets)
+    g_counts = np.maximum(lens - gram + 1, 0)
+    m_counts = np.maximum(g_counts - window + 1, 0)          # windows per row
+    out_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(m_counts, out=out_offsets[1:])
+    if out_offsets[-1] == 0:
+        return np.zeros(0, dtype=np.uint64), out_offsets
+    # sliding min over the flat gram array, then keep only in-row windows.
+    # NOTE: ``grams`` is indexed by flat BYTE position (it includes
+    # cross-row windows, masked out here), so row r's windows start at
+    # byte offset offsets[r]-base, not at the per-row gram-count cumsum.
+    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+    mins_flat = sw.min(axis=1)
+    starts = np.repeat(offsets[:-1] - base, m_counts)
+    within = _segment_arange(m_counts)
+    sel = mins_flat[starts + within]
+    # dedupe consecutive equal selections within each row
+    row_id = np.repeat(np.arange(len(lens), dtype=np.int64), m_counts)
+    keep = np.ones(sel.size, dtype=bool)
+    keep[1:] = (sel[1:] != sel[:-1]) | (row_id[1:] != row_id[:-1])
+    new_counts = np.bincount(row_id[keep], minlength=len(lens))
+    new_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_offsets[1:])
+    return sel[keep], new_offsets
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int, rows: int, mixer) -> np.ndarray:
+    """Hash each band (``rows`` consecutive signature slots) to one uint64.
+
+    sig: (n, bands*rows) uint64 -> (n, bands) uint64 band keys. Rows with
+    the SENTINEL signature return SENTINEL keys (caller filters them out).
+    """
+    n = sig.shape[0]
+    v = sig.reshape(n, bands, rows)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rows):
+        acc = acc * np.uint64(0x100000001B3) + v[:, :, j]
+    empty = (sig == _SENTINEL).all(axis=1)
+    keys = np.empty((n, bands), dtype=np.uint64)
+    for bi in range(bands):
+        keys[:, bi] = mixer(acc[:, bi], 1000 + bi)
+    keys[empty] = _SENTINEL
+    return keys
+
+
+def exact_jaccard(a_vals: np.ndarray, b_vals: np.ndarray) -> float:
+    """Exact Jaccard over two rows' shingle-hash multisets-as-sets."""
+    sa = np.unique(a_vals)
+    sb = np.unique(b_vals)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
+
+
+SENTINEL = _SENTINEL
