@@ -52,9 +52,11 @@ def _vocab(rng: np.random.Generator) -> list[str]:
 
 
 def _caption(rng: np.random.Generator, vocab: list[str]) -> str:
+    # uniform word choice: zipfian draws create accidental >=24-char shared
+    # runs of top words across unrelated captions (mega-clusters via the
+    # substring predicate); key-skew is exercised by the hot_bucket class
     n_words = int(rng.integers(6, 31))
-    # zipfian word choice over the vocab
-    ranks = np.minimum(rng.zipf(1.3, size=n_words) - 1, _VOCAB_SIZE - 1)
+    ranks = rng.integers(0, _VOCAB_SIZE, size=n_words)
     return " ".join(vocab[int(r)] for r in ranks)
 
 

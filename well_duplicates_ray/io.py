@@ -1,0 +1,45 @@
+"""Source/sink seam (SURVEY.md §2 G1/G16).
+
+north_rule targets Lance tables; the sandbox has no ``lance`` python
+package, so ``read_table`` dispatches: ``.lance`` URIs go through
+``ray.data.read_lance`` when available, everything else through
+``ray.data.read_parquet``. Both paths prune columns at the read — the
+reference exploits its column-per-cycle BCL layout the same way
+(``bcl_direct_reader.py`` gathers only the requested cycle window;
+SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray.data
+
+
+def read_table(
+    path: str,
+    columns: Optional[list[str]] = None,
+    override_num_blocks: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Read a Lance or Parquet table as a streaming Dataset, pruning columns."""
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+
+            return ray.data.read_lance(
+                path, columns=columns, override_num_blocks=override_num_blocks
+            )
+        except ImportError as exc:  # pragma: no cover - sandbox has no lance
+            raise ImportError(
+                "Lance URI given but the `lance` package is unavailable; "
+                "write the table as parquet or install lance"
+            ) from exc
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=override_num_blocks
+    )
+
+
+def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
+    """Write a Dataset as a directory of parquet part files (resumable layout:
+    callers pass one directory per partition / key range)."""
+    ds.write_parquet(path, **kwargs)

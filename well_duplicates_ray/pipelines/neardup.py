@@ -1,0 +1,167 @@
+"""Flagship near-duplicate detection + clustering pipeline (SURVEY.md §7.0).
+
+    read (pruned) -> validate -> decode+pHash-verify (actor pool)
+      -> shingle/MinHash/SimHash (actor pool)           [bytes dropped]
+      -> bucket-key emission -> count-first skew split
+      -> candidate pairs (hash self-join | salted stars)
+      -> pair dedupe -> verify (broadcast | shuffle join)
+      -> iterative min-label components -> cluster table
+
+This is the graft of the reference's two-script lifecycle
+(``prepare_indexed_targets.py`` neighborhood precompute +
+``count_well_duplicates.py`` per-tile duplicate counting — SURVEY.md §3):
+neighborhoods are LSH/Hamming buckets computed per run, verification is
+the exact predicate set, and the per-level report becomes a cluster
+assignment table plus per-kind edge metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count
+
+from well_duplicates_ray.config import DedupConfig, DEFAULT_CONFIG
+from well_duplicates_ray.stages.candidates import (
+    bucket_counts,
+    cold_pairs,
+    dedupe_pairs,
+    emit_bucket_keys,
+    find_hot_buckets,
+    hot_pairs,
+)
+from well_duplicates_ray.stages.components import connected_components
+from well_duplicates_ray.stages.decode import DecodePHash, validate_images
+from well_duplicates_ray.stages.signatures import MinHashSignatures
+from well_duplicates_ray.stages.verify import verify_pairs
+
+
+def ids_to_int(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Default id codec: digits of the id -> int64 ("img%08d" and plain
+    integer ids both work). Callers with exotic ids supply their own."""
+    import pyarrow.compute as pc
+
+    digits = pc.replace_substring_regex(ids, r"[^0-9]", "")
+    return digits.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def ints_to_ids(x: np.ndarray, template: str = "img{:08d}") -> list[str]:
+    return [template.format(int(v)) for v in x]
+
+
+def build_features(
+    images: ray.data.Dataset, cfg: DedupConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """validate -> decode/pHash-verify (actor pool) -> signatures (actor pool).
+
+    Output is the narrow feature table (no ``bytes``):
+    image_id, caption, phash, decode_ok, phash_match, content_sha,
+    minhash (fixed list<int64>), simhash, n_shingles.
+    """
+    return (
+        images.map_batches(validate_images, batch_format="pyarrow")
+        .map_batches(
+            DecodePHash,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.decode_concurrency),  # autoscale: never
+            fn_constructor_args=(cfg.to_dict(),),     # starve other stages
+        )
+        .map_batches(
+            MinHashSignatures,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.decode_concurrency),
+            fn_constructor_args=(cfg.to_dict(),),
+        )
+    )
+
+
+def run_neardup(
+    images: ray.data.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    num_partitions: int = 16,
+    id_template: str = "img{:08d}",
+    collect_metrics: bool = True,
+) -> dict:
+    """Run the full pipeline; returns dict with 'clusters' (image_id,
+    component), 'edges' (verified dup pairs with kind/ring/jaccard) and a
+    'metrics' dict.
+
+    The narrow feature table and the bucket emissions are materialized —
+    each has two consumers (SURVEY.md §4.3; at 10^12 scale the checkpoint
+    runner writes them to the manifest store instead, see
+    pipelines/checkpoint.py).
+    """
+    feats = build_features(images, cfg).materialize()
+    n_rows = feats.count()
+    if n_rows == 0:
+        # empty input: the hash-shuffle join cannot infer schemas — short-circuit
+        empty = ray.data.from_arrow(
+            pa.table({"image_id": pa.array([], pa.string()),
+                      "component": pa.array([], pa.string())})
+        )
+        return {"clusters": empty, "edges": None,
+                "metrics": {"n_rows": 0, "n_hot_buckets": 0, "n_edges": 0,
+                            "edges_by_kind": {}, "n_quarantined": 0}}
+
+    emissions = feats.map_batches(
+        lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
+    ).materialize()
+
+    counts = bucket_counts(emissions)
+    hot = find_hot_buckets(counts, cfg.bucket_pair_cap)
+
+    pairs = cold_pairs(emissions, hot, num_partitions)
+    hp = hot_pairs(emissions, hot, cfg)
+    if hp is not None:
+        pairs = pairs.union(hp)
+    pairs = dedupe_pairs(pairs)
+
+    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions)
+    edges = verified.map_batches(
+        lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
+    ).materialize()
+
+    edges_int = edges.map_batches(
+        lambda t: pa.table(
+            {"a": pa.array(ids_to_int(t["a"])), "b": pa.array(ids_to_int(t["b"]))}
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = feats.map_batches(
+        lambda t: pa.table({"node": pa.array(ids_to_int(t["image_id"]))}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges_int, nodes, num_partitions)
+    clusters = comp.map_batches(
+        lambda t: pa.table(
+            {
+                "image_id": pa.array(
+                    ints_to_ids(t["node"].to_numpy(), id_template), pa.string()
+                ),
+                "component": pa.array(
+                    ints_to_ids(t["component"].to_numpy(), id_template), pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    metrics: dict = {"n_rows": n_rows, "n_hot_buckets": len(hot)}
+    if collect_metrics:
+        kinds = (
+            edges.groupby("kind")
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        metrics["edges_by_kind"] = {r["kind"]: r["n"] for r in kinds}
+        metrics["n_edges"] = int(sum(metrics["edges_by_kind"].values()))
+        bad = feats.map_batches(
+            lambda t: t.filter(pc.invert(t["decode_ok"])),
+            batch_format="pyarrow",
+        ).count()
+        metrics["n_quarantined"] = bad
+    return {"clusters": clusters, "edges": edges, "metrics": metrics}

@@ -1,0 +1,238 @@
+"""Candidate generation: bucket-key emission, skew handling, pair building
+(SURVEY.md §2 G8-G11, §4.3).
+
+The reference restricts its O(n^2) comparison to precomputed spatial
+neighborhoods (targets file, ``prepare_indexed_targets.py`` — SURVEY.md
+§1.1 idea (a)). Here the neighborhoods are computed data-parallel each
+run: every row emits bucket keys from five sources, and rows sharing a
+bucket become candidate pairs:
+
+  salt 1xxx  MinHash LSH bands         (b bands x r rows over the signature)
+  salt 2xxx  pHash prefix bands        (4 x 16-bit; pigeonhole covers Hamming<=3
+                                        — the "levels/rings" analogue)
+  salt 3xxx  SimHash prefix bands      (same trick on the caption fingerprint)
+  salt 4000  winnowed L-gram anchors   (exact-substring pass candidates)
+  salt 5000  content sha               (exact payload dup)
+  salt 5001  caption hash              (exact caption dup, incl. degenerate
+                                        no-shingle captions)
+
+Skew: bucket sizes are counted first (cheap partial-aggregated groupby —
+SURVEY.md §4.3); buckets above ``bucket_pair_cap`` are *salted*: members
+are star-linked to per-sub-bucket minima, and the sub-minima are linked
+to each other, preserving the transitive closure with bounded group
+sizes instead of an m^2 pair explosion. Nothing is silently dropped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.functions.phash import mix64, prefix_bands
+from well_duplicates_ray.functions.text import SENTINEL, lsh_band_keys
+from well_duplicates_ray.functions.text import winnow_fingerprints
+
+_SENT_I64 = np.array([SENTINEL], dtype=np.uint64).view(np.int64)[0]
+
+
+def _str_hash64(strings: list[str | None]) -> np.ndarray:
+    """Stable 64-bit hash per string (md5 prefix; C-speed, seed-independent)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        h = hashlib.md5((s or "").encode("utf-8")).digest()
+        out[i] = int.from_bytes(h[:8], "little")
+    return out
+
+
+def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Per-batch, fully vectorized emission of (bucket:int64, image_id) rows."""
+    n = batch.num_rows
+    ids = batch["image_id"]
+    buckets: list[np.ndarray] = []
+    id_idx: list[np.ndarray] = []
+
+    def emit(keys: np.ndarray, rows: np.ndarray) -> None:
+        buckets.append(keys.astype(np.uint64))
+        id_idx.append(rows)
+
+    # --- MinHash LSH bands (skip sentinel/empty signatures) --------------
+    mh = batch["minhash"]
+    sig = np.asarray(mh.combine_chunks().flatten().to_numpy(zero_copy_only=False)) \
+        .view(np.uint64).reshape(n, cfg.minhash_perms)
+    keys = lsh_band_keys(sig, cfg.lsh_bands, cfg.lsh_rows, mix64)  # (n, b)
+    valid = keys != SENTINEL
+    rows, bands = np.nonzero(valid)
+    emit(keys[rows, bands], rows)
+
+    # --- pHash prefix bands ---------------------------------------------
+    ph = batch["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    pb = prefix_bands(ph, cfg.phash_bands)
+    for bi in range(cfg.phash_bands):
+        emit(mix64(pb[:, bi], 2000 + bi), np.arange(n))
+
+    # --- SimHash prefix bands -------------------------------------------
+    sh = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    sb = prefix_bands(sh, cfg.simhash_bands)
+    ok = sh != SENTINEL
+    rows = np.flatnonzero(ok)
+    for bi in range(cfg.simhash_bands):
+        emit(mix64(sb[rows, bi], 3000 + bi), rows)
+
+    # --- winnowed substring anchors -------------------------------------
+    wv, wo = winnow_fingerprints(batch["caption"], cfg.winnow_gram, cfg.winnow_window)
+    counts = np.diff(wo)
+    emit(mix64(wv, 4000), np.repeat(np.arange(n), counts))
+
+    # --- exact payload / exact caption ----------------------------------
+    sha_h = _str_hash64(batch["content_sha"].to_pylist())
+    emit(mix64(sha_h, 5000), np.arange(n))
+    if cfg.exact_caption_dup:
+        cap_h = _str_hash64(batch["caption"].to_pylist())
+        emit(mix64(cap_h, 5001), np.arange(n))
+
+    all_keys = np.concatenate(buckets).view(np.int64)
+    all_rows = np.concatenate(id_idx)
+    return pa.table(
+        {
+            "bucket": pa.array(all_keys),
+            "image_id": ids.take(pa.array(all_rows)),
+        }
+    )
+
+
+def bucket_counts(emissions: ray.data.Dataset) -> ray.data.Dataset:
+    """(bucket, n) — partial-aggregated groupby (SURVEY.md G20 feeds off this)."""
+    return emissions.groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+def find_hot_buckets(
+    counts: ray.data.Dataset, cap: int, max_collect: int = 100_000
+) -> list[int]:
+    """Collect buckets with n > cap to the driver (the hot set is tiny by
+    construction: degenerate captions + pathological band collisions). A
+    ``limit`` guards the driver; overflow is loud, never silent."""
+    hot = counts.filter(expr=f"n > {cap}")
+    rows = hot.limit(max_collect + 1).take_all()
+    if len(rows) > max_collect:
+        raise RuntimeError(
+            f"more than {max_collect} hot buckets — raise bucket_pair_cap "
+            "or max_collect; refusing to truncate silently"
+        )
+    return [r["bucket"] for r in rows]
+
+
+def _pairs_table(a: pa.Array | list, b: pa.Array | list, src: str) -> pa.Table:
+    return pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+                     "src": pa.array([src] * len(a), pa.string())})
+
+
+def cold_pairs(
+    emissions: ray.data.Dataset,
+    hot: list[int],
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """All-pairs within non-hot buckets via a hash-partitioned self-join
+    (vectorized; singleton buckets only produce self-pairs, filtered out)."""
+    cold = emissions
+    if hot:
+        hot_arr = np.array(sorted(hot), dtype=np.int64)
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            b = t["bucket"].to_numpy()
+            idx = np.searchsorted(hot_arr, b)
+            idx = np.clip(idx, 0, len(hot_arr) - 1)
+            return t.filter(pa.array(hot_arr[idx] != b))
+
+        cold = emissions.map_batches(drop_hot, batch_format="pyarrow")
+    joined = cold.join(
+        cold,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("bucket",),
+        right_suffix="_r",
+    )
+
+    def order_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the self-join yields both orientations; keep x<y exactly once
+        # (also drops self-pairs) — vectorized Arrow string comparison
+        kept = t.filter(pc.less(t["image_id"], t["image_id_r"]))
+        return pa.table(
+            {
+                "a": kept["image_id"],
+                "b": kept["image_id_r"],
+                "src": pa.array(["bucket"] * kept.num_rows, pa.string()),
+            }
+        )
+
+    return joined.map_batches(order_pairs, batch_format="pyarrow")
+
+
+def hot_pairs(
+    emissions: ray.data.Dataset,
+    hot: list[int],
+    cfg: DedupConfig,
+) -> ray.data.Dataset | None:
+    """Salted star-linking for hot buckets (SURVEY.md §4.3 skew row).
+
+    Members of a hot bucket are hashed into ~sqrt-sized sub-buckets; each
+    sub-bucket star-links to its min id, and the sub-minima of one bucket
+    are star-linked together — O(m) pairs, connectivity preserved.
+    """
+    if not hot:
+        return None
+    hot_arr = np.array(sorted(hot), dtype=np.int64)
+    n_salt = max(int(np.sqrt(cfg.bucket_pair_cap)) * 4, 16)
+
+    def keep_hot_salted(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy()
+        idx = np.clip(np.searchsorted(hot_arr, b), 0, len(hot_arr) - 1)
+        mask = hot_arr[idx] == b
+        t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "salted": pa.array([], pa.int64()),
+                             "image_id": pa.array([], pa.string())})
+        b = t["bucket"].to_numpy()
+        idh = _str_hash64(t["image_id"].to_pylist()) % np.uint64(n_salt)
+        salted = mix64(b.view(np.uint64) + idh, 7001).view(np.int64)
+        return pa.table({"bucket": t["bucket"], "salted": pa.array(salted),
+                         "image_id": t["image_id"]})
+
+    salted_rows = emissions.map_batches(keep_hot_salted, batch_format="pyarrow")
+
+    def star(t: pa.Table, key: str) -> pa.Table:
+        import pandas as pd  # noqa: F401
+        ids = sorted(set(t["image_id"].to_pylist()))
+        hub = ids[0]
+        others = ids[1:]
+        return _pairs_table([hub] * len(others), others, "hot")
+
+    sub_pairs = salted_rows.groupby("salted").map_groups(
+        lambda t: star(t, "salted"), batch_format="pyarrow"
+    )
+
+    def sub_min(t: pa.Table) -> pa.Table:
+        ids = min(t["image_id"].to_pylist())
+        return pa.table({"bucket": t["bucket"][:1], "image_id": pa.array([ids])})
+
+    reps = salted_rows.groupby("salted").map_groups(sub_min, batch_format="pyarrow")
+    rep_pairs = reps.groupby("bucket").map_groups(
+        lambda t: star(t, "bucket"), batch_format="pyarrow"
+    )
+    return sub_pairs.union(rep_pairs)
+
+
+def dedupe_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (a, b) — same pair surfaces from many buckets/sources."""
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .select_columns(["a", "b"])
+    )

@@ -1,0 +1,186 @@
+"""Pairwise verification (SURVEY.md §2 G12-G14).
+
+The reference decides duplicates with a cheap near-identity compare over
+a fixed window (``count_well_duplicates.py`` ``is_dup(a, b, max_dist)``
+— SURVEY.md §2 R9). The graft's verifier applies the DedupConfig
+predicates to every candidate pair, cheapest first:
+
+  exact          identical content sha (payload bytes)
+  exact_caption  identical caption string
+  phash          pHash Hamming distance <= phash_radius  (ring = distance,
+                 the reference's per-level attribution R10)
+  jaccard        exact byte-shingle Jaccard >= threshold (not the MinHash
+                 estimate — determinism + oracle parity)
+  substring      suffix-array longest-common-substring >= substring_min_len
+
+Feature attachment (G14) has two strategies:
+- broadcast: the narrow feature table is ``ray.put`` once and read by
+  every verifier actor in ``__init__`` (small-side join — no shuffle);
+- shuffle: two hash-partitioned joins on image_id for feature tables too
+  big to broadcast. ``bytes`` is never attached — only narrow features
+  move (SURVEY.md §4.3/§4.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.functions.phash import hamming64
+from well_duplicates_ray.functions.suffix import longest_common_substring_len
+from well_duplicates_ray.functions.text import exact_jaccard, shingle_hashes
+
+FEATURE_COLS = ["image_id", "caption", "phash", "content_sha"]
+
+
+def verify_enriched_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Verify a batch of pairs that already carries both sides' features
+    (columns a, b, caption_a, caption_b, phash_a, phash_b, sha_a, sha_b)."""
+    n = batch.num_rows
+    cap_a = batch["caption_a"].to_pylist()
+    cap_b = batch["caption_b"].to_pylist()
+    ph_a = batch["phash_a"].to_numpy().astype(np.int64).view(np.uint64)
+    ph_b = batch["phash_b"].to_numpy().astype(np.int64).view(np.uint64)
+    sha_a = batch["sha_a"].to_pylist()
+    sha_b = batch["sha_b"].to_pylist()
+
+    ring = np.minimum(hamming64(ph_a, ph_b), 127).astype(np.int8)
+    kind = np.full(n, "", dtype=object)
+    jac = np.full(n, -1.0)
+
+    sha_eq = np.fromiter((x == y for x, y in zip(sha_a, sha_b)), bool, n)
+    cap_eq = np.fromiter((x == y for x, y in zip(cap_a, cap_b)), bool, n)
+    ph_near = ring <= cfg.phash_radius
+
+    kind[ph_near] = "phash"
+    kind[cap_eq] = "exact_caption"
+    kind[sha_eq] = "exact"
+
+    undecided = np.flatnonzero(kind == "")
+    if undecided.size:
+        # exact Jaccard with a per-batch shingle-set cache (captions repeat)
+        cache: dict[str, np.ndarray] = {}
+
+        def shingles(c: str) -> np.ndarray:
+            s = cache.get(c)
+            if s is None:
+                v, _ = shingle_hashes([c], cfg.shingle_k)
+                s = np.unique(v)
+                cache[c] = s
+            return s
+
+        L = cfg.substring_min_len
+        for i in undecided:
+            sa, sb = shingles(cap_a[i]), shingles(cap_b[i])
+            if sa.size and sb.size:
+                j = exact_jaccard(sa, sb)
+                jac[i] = j
+                if j >= cfg.jaccard_threshold:
+                    kind[i] = "jaccard"
+                    continue
+            if (
+                len(cap_a[i]) >= L
+                and len(cap_b[i]) >= L
+                and longest_common_substring_len(
+                    cap_a[i].encode(), cap_b[i].encode()
+                )
+                >= L
+            ):
+                kind[i] = "substring"
+
+    return pa.table(
+        {
+            "a": batch["a"],
+            "b": batch["b"],
+            "is_dup": pa.array(kind != ""),
+            "kind": pa.array(kind, pa.string()),
+            "ring": pa.array(ring),
+            "jaccard": pa.array(jac),
+        }
+    )
+
+
+class BroadcastVerifier:
+    """Actor-pool verifier: features are fetched once per actor from the
+    object store (``ray.put`` broadcast — SURVEY.md G14 small-side path)."""
+
+    def __init__(self, cfg: dict, feats_ref):
+        self.cfg = DedupConfig.from_dict(cfg)
+        feats: pa.Table = ray.get(feats_ref)
+        ids = feats["image_id"].to_pylist()
+        self.index = {x: i for i, x in enumerate(ids)}
+        self.captions = feats["caption"].to_pylist()
+        self.phash = feats["phash"].to_numpy().astype(np.int64)
+        self.sha = feats["content_sha"].to_pylist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ia = [self.index[x] for x in batch["a"].to_pylist()]
+        ib = [self.index[x] for x in batch["b"].to_pylist()]
+        enriched = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "caption_a": pa.array([self.captions[i] for i in ia], pa.string()),
+                "caption_b": pa.array([self.captions[i] for i in ib], pa.string()),
+                "phash_a": pa.array(self.phash[ia]),
+                "phash_b": pa.array(self.phash[ib]),
+                "sha_a": pa.array([self.sha[i] for i in ia], pa.string()),
+                "sha_b": pa.array([self.sha[i] for i in ib], pa.string()),
+            }
+        )
+        return verify_enriched_batch(enriched, self.cfg)
+
+
+def attach_features_shuffle(
+    pairs: ray.data.Dataset,
+    feats: ray.data.Dataset,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Hash-partitioned feature attachment for feature tables too large to
+    broadcast: two joins on image_id (SURVEY.md G14 large-side path)."""
+    fa = feats.rename_columns(
+        {"image_id": "a", "caption": "caption_a", "phash": "phash_a",
+         "content_sha": "sha_a"}
+    )
+    fb = feats.rename_columns(
+        {"image_id": "b", "caption": "caption_b", "phash": "phash_b",
+         "content_sha": "sha_b"}
+    )
+    out = pairs.join(fa, "inner", num_partitions, on=("a",))
+    return out.join(fb, "inner", num_partitions, on=("b",))
+
+
+def verify_pairs(
+    pairs: ray.data.Dataset,
+    feats: ray.data.Dataset,
+    cfg: DedupConfig,
+    n_feature_rows: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Dispatch to broadcast or shuffle feature attachment, then verify."""
+    narrow = feats.select_columns(FEATURE_COLS)
+    if n_feature_rows <= cfg.broadcast_threshold:
+        feats_ref = ray.put(_collect(narrow))
+        # autoscaling pool (min 1): a fixed-size pool could reserve every
+        # CPU and starve the upstream join/aggregate operators (deadlock on
+        # small clusters — see ray_guide "actor-pool sizing")
+        return pairs.map_batches(
+            BroadcastVerifier,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.decode_concurrency),
+            fn_constructor_args=(cfg.to_dict(), feats_ref),
+        )
+    enriched = attach_features_shuffle(pairs, narrow, num_partitions)
+    return enriched.map_batches(
+        lambda t: verify_enriched_batch(t, cfg), batch_format="pyarrow"
+    )
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    return pa.concat_tables(
+        [ray.get(ref) for ref in ds.to_arrow_refs()]
+    )
