@@ -1,0 +1,403 @@
+"""Driver-facing query registry over /root/testdata tables (FIXTURES.md F4).
+
+Each entry is one operator/pipeline from SURVEY.md §2 expressed
+Ray-Data-first; SQL-expressible ones carry a DuckDB oracle string whose
+column NAMES and types match the Ray output exactly (the driver compares
+row-count + schema + order-insensitive value-hash).
+
+Float-valued aggregates are avoided in hashed outputs where the result
+would depend on summation order; integer-valued sums (TPC-H quantities),
+counts, mins/maxes and raw column values are order-independent and safe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from well_duplicates_ray.config import DedupConfig
+
+CFG = DedupConfig()
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# G19: exact dedup (groupby content key -> representative)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_text(sf_dir: str) -> ray.data.Dataset:
+    """Exact-duplicate collapse on documents.text: keep min doc_id per text.
+
+    SURVEY.md §2 G19 — the graft analogue of the reference treating
+    byte-identical reads in the same well-neighborhood as trivially
+    duplicate (count_well_duplicates.py is_dup with distance 0)."""
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G20: hot-key diagnostics (groupby -> count -> sort -> limit)
+# ---------------------------------------------------------------------------
+
+def hot_keys_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 event types by count — the salting-threshold diagnostic."""
+    return (
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "event_type"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def dup_count_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Per-source duplicate count: COUNT(*) - COUNT(DISTINCT text).
+
+    Two-level aggregation: distinct (source, text) counts first (partial
+    pre-aggregation shrinks the second shuffle — SURVEY.md §4.3), then
+    sum of (n-1) per source == total - distinct."""
+    per_text = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .groupby(["source", "text"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def extra(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "extra": pc.subtract(t["cnt"], pa.scalar(1, pa.int64())),
+            }
+        )
+
+    return (
+        per_text.map_batches(extra, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("extra", alias_name="dups"))
+    )
+
+
+def filter_valid(sf_dir: str) -> ray.data.Dataset:
+    """Validity filter (G2/R8 analogue): docs long enough to shingle at L."""
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_chars"], 24)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id"])
+    )
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-flavored grouped aggregate (integer-exact metrics only:
+    float money sums are summation-order dependent and not hash-stable)."""
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    return (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"])
+        .map_batches(
+            lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)).drop_columns(
+                ["l_shipdate"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast hash join (G14 small-side path): customer is the dimension
+    table — ray.put once, dict-lookup inside map_batches; no shuffle."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    mapping = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    ref = ray.put(mapping)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        seg = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        out = pa.table({"c_mktsegment": pa.array(seg, pa.string())})
+        return out.filter(pc.is_valid(out["c_mktsegment"]))
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window grouped count (streaming-shaped workload expressed
+    as groupby over floor_temporal — ray_guide 'streaming-shaped')."""
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("us"))
+        return pa.table({"event_type": t["event_type"], "hour": hour})
+
+    return (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def distinct_langs(sf_dir: str) -> ray.data.Dataset:
+    """DISTINCT via grouped aggregate (set-op coverage, SURVEY.md §2.B)."""
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["lang"])
+    )
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token count per document (text-analysis op)."""
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        # split_pattern_regex + list_value_length, fully vectorized
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+"
+        )
+        n = pc.list_value_length(toks).cast(pa.int64())
+        # empty text -> [''] -> 1; fix to 0 to match "no tokens"
+        is_empty = pc.equal(pc.utf8_trim_whitespace(t["text"]), "")
+        n = pc.if_else(is_empty, pa.scalar(0, pa.int64()), n)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Content fingerprint per document (md5 hex — exact-dedup key).
+
+    Hashing is inherently per-string; hashlib is C-speed and the loop is
+    over one batch column, not the dataset."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(h, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+def part_topk_price(sf_dir: str) -> ray.data.Dataset:
+    """Global top-k by sort (distributed sort + limit)."""
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+N_ANN_QUERIES = 4
+ANN_K = 10
+
+
+def _embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    return ids, m
+
+
+def ann_topk_cosine(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul,
+    per-batch partial top-k, tiny final merge (SURVEY 'similarity search'
+    baseline; the LSH-bucketed variant is embedding_neardup_lsh)."""
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], N_ANN_QUERIES))
+    q_ids = qt["vec_id"].to_numpy()
+    q = np.stack(qt["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put((q_ids, qn))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids, qn = ray.get(ref)
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ qn.T  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        k = min(ANN_K, len(ids))
+        for j, qid in enumerate(q_ids):
+            order = np.lexsort((ids, -sims[:, j]))[:k]
+            out_q.append(np.full(k, qid))
+            out_v.append(ids[order])
+            out_s.append(sims[order, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .take_all()
+    )  # tiny: nq * k rows per block
+    df = pd.DataFrame(partials)
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= ANN_K][["query_id", "vec_id", "rank"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True))
+
+
+# The synthetic embeddings carry no planted near-dups (max pairwise cosine
+# ~0.6 across sf dirs), so the threshold is set below that to exercise the
+# operator with a non-empty result; 0.45 sits in a verified gap of the sim
+# distribution (no value within ~1e-3), so float32-vs-float64 kernel noise
+# (~2e-7) cannot flip a pair across the boundary.
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def embedding_neardup_cosine(sf_dir: str) -> ray.data.Dataset:
+    """Embedding near-dup pairs (cosine >= threshold, a < b): brute-force
+    per-batch matmul against the broadcast matrix — the exact baseline the
+    LSH variant is measured against."""
+    ids, m = _embedding_matrix(sf_dir)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, mn))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_ids, mn = ray.get(ref)
+        bids = t["vec_id"].to_numpy()
+        bm = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        bmn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = bmn @ mn.T
+        bi, aj = np.nonzero(sims >= COSINE_DUP_THRESHOLD)
+        a = bids[bi]
+        b = all_ids[aj]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+SQL_ORACLES: dict[str, str] = {
+    "dedup_exact_text": """
+        SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "hot_keys_topk": """
+        SELECT event_type, COUNT(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10
+    """,
+    "dup_count_by_source": """
+        SELECT source, COUNT(*) - COUNT(DISTINCT text) AS dups
+        FROM documents GROUP BY source
+    """,
+    "filter_valid": """
+        SELECT doc_id FROM documents WHERE n_chars >= 24
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_by_segment": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "distinct_langs": """
+        SELECT DISTINCT lang FROM documents
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "part_topk_price": """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+    "ann_topk_cosine": f"""
+        WITH qv AS (SELECT vec_id AS qid, embedding AS qe
+                    FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),
+        s AS (SELECT qv.qid AS query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, qv.qe) AS sim
+              FROM embeddings e, qv),
+        r AS (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM s)
+        SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
+    """,
+    "embedding_neardup_cosine": f"""
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM embeddings x, embeddings y
+        WHERE x.vec_id < y.vec_id
+          AND list_cosine_similarity(x.embedding, y.embedding)
+              >= {COSINE_DUP_THRESHOLD}
+    """,
+}
+
+SQL_QUERIES: dict[str, Callable] = {
+    "dedup_exact_text": dedup_exact_text,
+    "hot_keys_topk": hot_keys_topk,
+    "dup_count_by_source": dup_count_by_source,
+    "filter_valid": filter_valid,
+    "q1_pricing_summary": q1_pricing_summary,
+    "orders_by_segment": orders_by_segment,
+    "events_hourly": events_hourly,
+    "distinct_langs": distinct_langs,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+    "part_topk_price": part_topk_price,
+    "ann_topk_cosine": ann_topk_cosine,
+    "embedding_neardup_cosine": embedding_neardup_cosine,
+}
