@@ -33,9 +33,15 @@ from well_duplicates_ray.stages.candidates import (
     hot_pairs,
 )
 from well_duplicates_ray.stages.components import connected_components
-from well_duplicates_ray.stages.decode import DecodePHash, validate_images
-from well_duplicates_ray.stages.signatures import MinHashSignatures
+from well_duplicates_ray.stages.signatures import FeatureExtractor
 from well_duplicates_ray.stages.verify import verify_pairs
+
+
+def auto_partitions(n_rows: int, lo: int = 2, hi: int = 64) -> int:
+    """Hash-join/shuffle partition count sized to the data: each partition
+    should hold thousands of rows, not dozens (tiny partitions are pure
+    scheduling overhead; huge ones defeat the memory bound)."""
+    return max(lo, min(hi, n_rows // 4096))
 
 
 def ids_to_int(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -60,29 +66,19 @@ def build_features(
     image_id, caption, phash, decode_ok, phash_match, content_sha,
     minhash (fixed list<int64>), simhash, n_shingles.
     """
-    return (
-        images.map_batches(validate_images, batch_format="pyarrow")
-        .map_batches(
-            DecodePHash,
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=(1, cfg.decode_concurrency),  # autoscale: never
-            fn_constructor_args=(cfg.to_dict(),),     # starve other stages
-        )
-        .map_batches(
-            MinHashSignatures,
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=(1, cfg.decode_concurrency),
-            fn_constructor_args=(cfg.to_dict(),),
-        )
+    return images.map_batches(
+        FeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.decode_concurrency),  # autoscale: never starve
+        fn_constructor_args=(cfg.to_dict(),),     # the other stages
     )
 
 
 def run_neardup(
     images: ray.data.Dataset,
     cfg: DedupConfig = DEFAULT_CONFIG,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     id_template: str = "img{:08d}",
     collect_metrics: bool = True,
 ) -> dict:
@@ -107,12 +103,15 @@ def run_neardup(
                 "metrics": {"n_rows": 0, "n_hot_buckets": 0, "n_edges": 0,
                             "edges_by_kind": {}, "n_quarantined": 0}}
 
+    if num_partitions is None:
+        num_partitions = auto_partitions(n_rows)
+
     emissions = feats.map_batches(
         lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
     ).materialize()
 
-    counts = bucket_counts(emissions)
-    hot = find_hot_buckets(counts, cfg.bucket_pair_cap)
+    hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
+                           n_emissions=emissions.count())
 
     pairs = cold_pairs(emissions, hot, num_partitions)
     hp = hot_pairs(emissions, hot, cfg)
@@ -135,7 +134,10 @@ def run_neardup(
         lambda t: pa.table({"node": pa.array(ids_to_int(t["image_id"]))}),
         batch_format="pyarrow",
     )
-    comp = connected_components(edges_int, nodes, num_partitions)
+    comp = connected_components(
+        edges_int, nodes, num_partitions,
+        driver_threshold=cfg.broadcast_threshold,
+    )
     clusters = comp.map_batches(
         lambda t: pa.table(
             {

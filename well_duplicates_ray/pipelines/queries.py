@@ -399,7 +399,7 @@ def neardup_documents_minhash(sf_dir: str) -> ray.data.Dataset:
     from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return run_text_neardup(docs, CFG, num_partitions=8)["clusters"]
+    return run_text_neardup(docs, CFG)["clusters"]
 
 
 def simhash_documents(sf_dir: str) -> ray.data.Dataset:

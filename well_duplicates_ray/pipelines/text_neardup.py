@@ -66,7 +66,7 @@ def build_text_features(
 def run_text_neardup(
     docs: ray.data.Dataset,
     cfg: DedupConfig = DEFAULT_CONFIG,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -84,10 +84,15 @@ def run_text_neardup(
         )
         return {"clusters": empty, "edges": None, "metrics": {"n_rows": 0}}
 
+    from well_duplicates_ray.pipelines.neardup import auto_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_partitions(n_rows)
     emissions = feats.map_batches(
         lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
     ).materialize()
-    hot = find_hot_buckets(bucket_counts(emissions), cfg.bucket_pair_cap)
+    hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
+                           n_emissions=emissions.count())
 
     pairs = cold_pairs(emissions, hot, num_partitions)
     hp = hot_pairs(emissions, hot, cfg)
@@ -110,7 +115,10 @@ def run_text_neardup(
         lambda t: pa.table({"node": t["image_id"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
-    comp = connected_components(edges_int, nodes, num_partitions)
+    comp = connected_components(
+        edges_int, nodes, num_partitions,
+        driver_threshold=cfg.broadcast_threshold,
+    )
     clusters = comp.rename_columns({"node": "doc_id"})
     return {
         "clusters": clusters,

@@ -112,20 +112,47 @@ def bucket_counts(emissions: ray.data.Dataset) -> ray.data.Dataset:
     return emissions.groupby("bucket").aggregate(Count(alias_name="n"))
 
 
+DRIVER_COUNT_GATE = 20_000_000  # emission rows; ~300 MB of (int64, id) pulls
+
+
 def find_hot_buckets(
-    counts: ray.data.Dataset, cap: int, max_collect: int = 100_000
+    emissions: ray.data.Dataset,
+    cap: int,
+    n_emissions: int | None = None,
+    max_collect: int = 100_000,
 ) -> list[int]:
-    """Collect buckets with n > cap to the driver (the hot set is tiny by
-    construction: degenerate captions + pathological band collisions). A
-    ``limit`` guards the driver; overflow is loud, never silent."""
-    hot = counts.filter(expr=f"n > {cap}")
-    rows = hot.limit(max_collect + 1).take_all()
-    if len(rows) > max_collect:
+    """Buckets with more than ``cap`` members (the skew set).
+
+    Size-gated like the verify join: below the gate the count runs as one
+    vectorized Arrow value_counts on the driver (a full distributed
+    groupby on mostly-unique keys costs seconds of shuffle overhead for a
+    kilobyte of output); above it the partial-aggregated groupby runs.
+    The hot set itself is tiny by construction — degenerate captions and
+    pathological band collisions; overflow is loud, never silent."""
+    import ray as _ray
+
+    if n_emissions is not None and n_emissions <= DRIVER_COUNT_GATE:
+        cols = [
+            _ray.get(r)["bucket"]
+            for r in emissions.select_columns(["bucket"]).to_arrow_refs()
+        ]
+        vc = pa.chunked_array(
+            [c if isinstance(c, pa.Array) else c.combine_chunks() for c in cols]
+        ).value_counts()
+        import pyarrow.compute as pc_
+
+        hot_mask = pc_.greater(vc.field("counts"), cap)
+        hot = vc.field("values").filter(hot_mask).to_pylist()
+    else:
+        counts = bucket_counts(emissions)
+        rows = counts.filter(expr=f"n > {cap}").limit(max_collect + 1).take_all()
+        hot = [r["bucket"] for r in rows]
+    if len(hot) > max_collect:
         raise RuntimeError(
             f"more than {max_collect} hot buckets — raise bucket_pair_cap "
             "or max_collect; refusing to truncate silently"
         )
-    return [r["bucket"] for r in rows]
+    return hot
 
 
 def _pairs_table(a: pa.Array | list, b: pa.Array | list, src: str) -> pa.Table:
@@ -231,10 +258,32 @@ def hot_pairs(
     return sub_pairs.union(rep_pairs)
 
 
-def dedupe_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct (a, b) — same pair surfaces from many buckets/sources."""
+def dedupe_pairs(
+    pairs: ray.data.Dataset, driver_gate: int = 20_000_000
+) -> ray.data.Dataset:
+    """Distinct (a, b) — the same pair surfaces from many buckets/sources
+    (an exact-dup pair co-buckets in every LSH band, both exact keys, every
+    winnow anchor...), and verifying it dozens of times would dominate the
+    verify stage.
+
+    Two-level: a vectorized within-batch distinct first (big reduction, no
+    shuffle), then a size-gated global distinct — driver-side Arrow
+    group_by below the gate, hash-shuffle groupby above it."""
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    local = pairs.map_batches(batch_distinct, batch_format="pyarrow").materialize()
+    n = local.count()
+    if n <= driver_gate:
+        import ray as _ray
+
+        tbl = pa.concat_tables([_ray.get(r) for r in local.to_arrow_refs()])
+        if tbl.num_rows == 0:
+            return local
+        return ray.data.from_arrow(tbl.group_by(["a", "b"]).aggregate([]))
     return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_buckets"))
+        local.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
     )

@@ -36,12 +36,28 @@ def connected_components(
     nodes: ray.data.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """edges: (a:int64, b:int64); nodes: (node:int64) including singletons.
 
     Returns (node:int64, component:int64) with component = min node of the
     connected component.
+
+    Size-gated like the verify join (SURVEY.md G14): when the graph is
+    provably small (nodes+edges <= driver_threshold) a driver-side DSU is
+    exact and avoids ~2 shuffles per propagation round; above the gate the
+    distributed min-label iteration runs (the 10^12-scale path).
     """
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    if n_edges == 0:  # no edges: every node is its own component (and the
+        # hash-shuffle join cannot run on an empty side)
+        return nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "component": t["node"]}),
+            batch_format="pyarrow",
+        )
+    if n_nodes + n_edges <= driver_threshold:
+        return _components_driver_dsu(edges, nodes)
 
     def to_adjacency(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy()
@@ -89,3 +105,49 @@ def connected_components(
         raise RuntimeError(f"components did not converge in {max_rounds} rounds")
 
     return labels.rename_columns({"label": "component"})
+
+
+def _components_driver_dsu(
+    edges: ray.data.Dataset, nodes: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Exact driver-side union-find for provably-small graphs (same result
+    as the distributed path; components labeled by min node)."""
+    def _tables(ds):
+        import ray as _ray
+
+        return [_ray.get(r) for r in ds.to_arrow_refs()]
+
+    node_arr = np.sort(
+        np.unique(
+            np.concatenate(
+                [t["node"].to_numpy() for t in _tables(nodes)]
+                or [np.zeros(0, np.int64)]
+            )
+        )
+    )
+    parent = np.arange(node_arr.size, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for t in _tables(edges):
+        ia = np.searchsorted(node_arr, t["a"].to_numpy())
+        ib = np.searchsorted(node_arr, t["b"].to_numpy())
+        for x, y in zip(ia.tolist(), ib.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if node_arr[rx] <= node_arr[ry]:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+    comp = np.empty(node_arr.size, dtype=np.int64)
+    for i in range(node_arr.size):
+        comp[i] = node_arr[find(i)]
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(node_arr), "component": pa.array(comp)})
+    )

@@ -21,6 +21,23 @@ from well_duplicates_ray.functions.text import (
 )
 
 
+class FeatureExtractor:
+    """Fused actor: validate -> decode/pHash-verify -> MinHash/SimHash in
+    one ``map_batches`` pool. One actor pool instead of three stages saves
+    two pool spin-ups and two inter-stage object-store hops; the stages
+    stay individually testable as their own classes."""
+
+    def __init__(self, cfg: dict | None = None):
+        from well_duplicates_ray.stages.decode import DecodePHash, validate_images
+
+        self._validate = validate_images
+        self._decode = DecodePHash(cfg)
+        self._sign = MinHashSignatures(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._sign(self._decode(self._validate(batch)))
+
+
 class MinHashSignatures:
     """map_batches actor: adds minhash (fixed list<uint64>), simhash (int64)
     and n_shingles columns to the narrow feature table."""

@@ -31,7 +31,11 @@ import ray.data
 from well_duplicates_ray.config import DedupConfig
 from well_duplicates_ray.functions.phash import hamming64
 from well_duplicates_ray.functions.suffix import longest_common_substring_len
-from well_duplicates_ray.functions.text import exact_jaccard, shingle_hashes
+from well_duplicates_ray.functions.text import (
+    exact_jaccard,
+    shingle_hashes,
+    winnow_fingerprints,
+)
 
 FEATURE_COLS = ["image_id", "caption", "phash", "content_sha"]
 
@@ -64,35 +68,54 @@ def verify_enriched_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     undecided = np.flatnonzero(kind == "")
     if undecided.size:
-        # exact Jaccard with a per-batch shingle-set cache (captions repeat)
-        cache: dict[str, np.ndarray] = {}
+        # per-batch caches (captions repeat across pairs)
+        sh_cache: dict[str, np.ndarray] = {}
+        fp_cache: dict[str, np.ndarray] = {}
 
         def shingles(c: str) -> np.ndarray:
-            s = cache.get(c)
+            s = sh_cache.get(c)
             if s is None:
                 v, _ = shingle_hashes([c], cfg.shingle_k)
                 s = np.unique(v)
-                cache[c] = s
+                sh_cache[c] = s
             return s
 
+        def fingerprints(c: str) -> np.ndarray:
+            f = fp_cache.get(c)
+            if f is None:
+                v, _ = winnow_fingerprints([c], cfg.winnow_gram, cfg.winnow_window)
+                f = np.unique(v)
+                fp_cache[c] = f
+            return f
+
         L = cfg.substring_min_len
+        thr = cfg.jaccard_threshold
         for i in undecided:
             sa, sb = shingles(cap_a[i]), shingles(cap_b[i])
             if sa.size and sb.size:
-                j = exact_jaccard(sa, sb)
-                jac[i] = j
-                if j >= cfg.jaccard_threshold:
-                    kind[i] = "jaccard"
-                    continue
-            if (
-                len(cap_a[i]) >= L
-                and len(cap_b[i]) >= L
-                and longest_common_substring_len(
-                    cap_a[i].encode(), cap_b[i].encode()
-                )
-                >= L
-            ):
-                kind[i] = "substring"
+                # length-ratio upper bound on Jaccard prunes most pairs
+                # before the exact set intersection
+                if min(sa.size, sb.size) / max(sa.size, sb.size) >= thr:
+                    j = exact_jaccard(sa, sb)
+                    jac[i] = j
+                    if j >= thr:
+                        kind[i] = "jaccard"
+                        continue
+            if len(cap_a[i]) >= L and len(cap_b[i]) >= L:
+                # winnowing guarantee: LCS >= L implies a shared selected
+                # fingerprint — the O(n log n) suffix-array LCS only runs
+                # on pairs that pass this O(|fp|) intersection screen
+                fa, fb = fingerprints(cap_a[i]), fingerprints(cap_b[i])
+                if (
+                    fa.size
+                    and fb.size
+                    and np.intersect1d(fa, fb, assume_unique=True).size
+                    and longest_common_substring_len(
+                        cap_a[i].encode(), cap_b[i].encode()
+                    )
+                    >= L
+                ):
+                    kind[i] = "substring"
 
     return pa.table(
         {
