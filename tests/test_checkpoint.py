@@ -1,0 +1,101 @@
+"""Resume test (FIXTURES.md F3): kill after K partitions (simulated by
+deleting outputs + manifest rows), rerun, assert completed partitions are
+not recomputed (mtimes + digests unchanged) and the final cluster table is
+byte-identical."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.fixtures import write_images_parquet
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def input_parquet(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    path = str(d / "images.parquet")
+    # small row groups so the planner yields several partitions
+    import pyarrow.parquet as pqw
+    from well_duplicates_ray.fixtures import make_images
+
+    images, _ = make_images(600, seed=42)
+    pqw.write_table(images, path, row_group_size=100)
+    return path
+
+
+def test_partition_plan_deterministic(input_parquet):
+    from well_duplicates_ray.pipelines.checkpoint import (
+        ROWS_PER_PARTITION,
+        plan_partitions,
+    )
+
+    p1 = plan_partitions(input_parquet)
+    p2 = plan_partitions(input_parquet)
+    assert p1 == p2
+    assert sum(p["rows"] for p in p1) == 600
+
+
+def test_checkpoint_run_and_resume(ray_session, input_parquet, tmp_path, monkeypatch):
+    import well_duplicates_ray.pipelines.checkpoint as C
+
+    monkeypatch.setattr(C, "ROWS_PER_PARTITION", 100)  # -> 6 partitions
+    work = str(tmp_path / "work")
+
+    out1 = C.run_checkpointed(input_parquet, work, CFG)
+    m1 = out1["metrics"]
+    assert m1["partitions_total"] == 6
+    assert m1["partitions_computed"] == 6 and m1["partitions_reused"] == 0
+    clusters1 = pq.read_table(out1["clusters_path"])
+    assert clusters1.num_rows == 600
+
+    # no-op rerun: everything reused, nothing rewritten
+    sig_dir = os.path.join(work, "signatures")
+    mtimes = {f: os.path.getmtime(os.path.join(sig_dir, f))
+              for f in os.listdir(sig_dir)}
+    out2 = C.run_checkpointed(input_parquet, work, CFG)
+    m2 = out2["metrics"]
+    assert m2["partitions_reused"] == 6 and m2["partitions_computed"] == 0
+    assert m2["clusters_reused"] is True
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(sig_dir, f)) == t
+
+    # simulate a crash that lost the last 2 partitions
+    for pid in (4, 5):
+        os.remove(os.path.join(sig_dir, f"part-{pid:05d}.parquet"))
+        os.remove(os.path.join(work, "manifest", "signatures",
+                               f"part-{pid:05d}.parquet"))
+    out3 = C.run_checkpointed(input_parquet, work, CFG)
+    m3 = out3["metrics"]
+    assert m3["partitions_reused"] == 4 and m3["partitions_computed"] == 2
+    # untouched partitions were not rewritten
+    for pid in (0, 1, 2, 3):
+        f = f"part-{pid:05d}.parquet"
+        assert os.path.getmtime(os.path.join(sig_dir, f)) == mtimes[f]
+    clusters3 = pq.read_table(out3["clusters_path"])
+    assert clusters3.equals(clusters1)  # byte-identical final output
+
+
+def test_checkpoint_input_change_invalidates(ray_session, input_parquet, tmp_path,
+                                             monkeypatch):
+    import well_duplicates_ray.pipelines.checkpoint as C
+
+    monkeypatch.setattr(C, "ROWS_PER_PARTITION", 100)
+    work = str(tmp_path / "work2")
+    src = str(tmp_path / "images2.parquet")
+    shutil.copy(input_parquet, src)
+    C.run_checkpointed(src, work, CFG)
+
+    # rewrite the input (different content -> different digests everywhere)
+    from well_duplicates_ray.fixtures import make_images
+
+    images, _ = make_images(600, seed=43)
+    pq.write_table(images, src, row_group_size=100)
+    out = C.run_checkpointed(src, work, CFG)
+    assert out["metrics"]["partitions_reused"] == 0
+    assert out["metrics"]["partitions_computed"] == 6
+    assert out["metrics"]["clusters_reused"] is False

@@ -103,6 +103,41 @@ def run_neardup(
                 "metrics": {"n_rows": 0, "n_hot_buckets": 0, "n_edges": 0,
                             "edges_by_kind": {}, "n_quarantined": 0}}
 
+    clusters, aux = _cluster_from_features(
+        feats, cfg, num_partitions, id_template=id_template, n_rows=n_rows
+    )
+    edges = aux["edges"]
+
+    metrics: dict = {"n_rows": n_rows, "n_hot_buckets": aux["n_hot_buckets"]}
+    if collect_metrics:
+        kinds = (
+            edges.groupby("kind")
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        metrics["edges_by_kind"] = {r["kind"]: r["n"] for r in kinds}
+        metrics["n_edges"] = int(sum(metrics["edges_by_kind"].values()))
+        bad = feats.map_batches(
+            lambda t: t.filter(pc.invert(t["decode_ok"])),
+            batch_format="pyarrow",
+        ).count()
+        metrics["n_quarantined"] = bad
+    return {"clusters": clusters, "edges": edges, "metrics": metrics}
+
+
+def _cluster_from_features(
+    feats: ray.data.Dataset,
+    cfg: DedupConfig,
+    num_partitions: int | None = None,
+    id_template: str = "img{:08d}",
+    n_rows: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Candidates -> verify -> components over a (materialized or on-disk)
+    feature table. Shared by the streaming pipeline and the checkpointed
+    runner (pipelines/checkpoint.py reads features back from the
+    signature store instead of memory)."""
+    if n_rows is None:
+        n_rows = feats.count()
     if num_partitions is None:
         num_partitions = auto_partitions(n_rows)
 
@@ -151,19 +186,4 @@ def run_neardup(
         ),
         batch_format="pyarrow",
     )
-
-    metrics: dict = {"n_rows": n_rows, "n_hot_buckets": len(hot)}
-    if collect_metrics:
-        kinds = (
-            edges.groupby("kind")
-            .aggregate(Count(alias_name="n"))
-            .take_all()
-        )
-        metrics["edges_by_kind"] = {r["kind"]: r["n"] for r in kinds}
-        metrics["n_edges"] = int(sum(metrics["edges_by_kind"].values()))
-        bad = feats.map_batches(
-            lambda t: t.filter(pc.invert(t["decode_ok"])),
-            batch_format="pyarrow",
-        ).count()
-        metrics["n_quarantined"] = bad
-    return {"clusters": clusters, "edges": edges, "metrics": metrics}
+    return clusters, {"edges": edges, "n_hot_buckets": len(hot)}
