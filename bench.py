@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+    python bench.py                # run over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS
+    python bench.py --scaling     # fresh processes at 8 and 32 CPUs on the
+                                  # same input; reports throughputs +
+                                  # scaling efficiency (BASELINE.md protocol)
+
+Headline: the flagship near-dup pipeline over a deterministic synthetic
+image+caption table sized to the scale factor (n = 600_000 * sf images,
+64x64 raw RGB — cached in /tmp, generation and cache-warm are untimed),
+plus a representative set of the query-registry pipelines over the
+$GRAFT_SF_DIR tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+BENCH_IMG_SIZE = 64
+BENCH_SEED = 42
+
+BENCH_QUERIES = [
+    "dedup_exact_text",
+    "hot_keys_topk",
+    "q1_pricing_summary",
+    "orders_by_segment",
+    "events_hourly",
+    "ann_topk_cosine",
+    "embedding_neardup_lsh",
+    "neardup_documents_minhash",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _images_for_sf(sf: float) -> tuple[str, int]:
+    n = max(2000, int(600_000 * sf))
+    path = f"/tmp/wd_cache/bench_images_n{n}_s{BENCH_SEED}_sz{BENCH_IMG_SIZE}.parquet"
+    if not os.path.exists(path):
+        from well_duplicates_ray.fixtures import write_images_parquet
+
+        write_images_parquet(
+            path, n=n, seed=BENCH_SEED, size=BENCH_IMG_SIZE,
+            row_group_size=max(n // 64, 4096),
+        )
+    return path, n
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sf = _sf_of(sf_dir)
+    img_path, n_images = _images_for_sf(sf)
+    # warm the OS page cache so the timed run measures compute + shuffle
+    with open(img_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    from well_duplicates_ray.config import DedupConfig
+    from well_duplicates_ray.io import read_table
+    from well_duplicates_ray.pipelines.neardup import run_neardup
+    from well_duplicates_ray.pipelines.queries import EXTRA_QUERIES, SQL_QUERIES
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    out = run_neardup(
+        read_table(img_path), DedupConfig(), collect_metrics=False
+    )
+    n_clustered = out["clusters"].count()
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_neardup_images"] = round(flagship_sec, 3)
+    assert n_clustered == n_images, (n_clustered, n_images)
+
+    registry = {**SQL_QUERIES, **EXTRA_QUERIES}
+    for name in BENCH_QUERIES:
+        t1 = time.perf_counter()
+        res = registry[name](sf_dir)
+        if hasattr(res, "count") and not isinstance(res, (list, tuple)):
+            try:
+                res.count()
+            except TypeError:
+                pass
+        timings[name] = round(time.perf_counter() - t1, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "flagship_images": n_images,
+        "flagship_images_per_sec": round(n_images / flagship_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Two fresh processes on identical input: the sandbox evidence for the
+    north_rule's N vs 4N cluster-size scaling criterion."""
+    _images_for_sf(_sf_of(sf_dir))  # generate cache once, outside timing
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo = lo["queries"]["flagship_neardup_images"]
+    t_hi = hi["queries"]["flagship_neardup_images"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "flagship_sec_8cpu": t_lo,
+        "flagship_sec_32cpu": t_hi,
+        "flagship_images_per_sec_8cpu": lo["flagship_images_per_sec"],
+        "flagship_images_per_sec_32cpu": hi["flagship_images_per_sec"],
+        "total_sec_8cpu": lo["value"],
+        "total_sec_32cpu": hi["value"],
+        "sf": lo["sf"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

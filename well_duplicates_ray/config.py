@@ -63,7 +63,9 @@ class DedupConfig:
     # --- execution -------------------------------------------------------
     seed: int = 42
     batch_size: int = 4096
-    decode_concurrency: int = 4   # actor-pool size for decode/verify pools
+    decode_concurrency: int = 16  # actor-pool max size for decode/verify
+                                  # pools (autoscaling (1, N); the scheduler
+                                  # caps at available CPUs)
     broadcast_threshold: int = 2_000_000  # rows; feature side smaller than
                                           # this is ray.put-broadcast for the
                                           # pair join, else shuffle hash-join

@@ -60,11 +60,15 @@ def _caption(rng: np.random.Generator, vocab: list[str]) -> str:
     return " ".join(vocab[int(r)] for r in ranks)
 
 
-def _images_batch(rng: np.random.Generator, n: int) -> np.ndarray:
-    """Low-frequency random fields: 8x8 coarse grid -> 4x nearest upsample.
-    Distinct rows get near-independent pHashes (smooth, high-contrast)."""
+def _images_batch(rng: np.random.Generator, n: int, size: int) -> np.ndarray:
+    """Low-frequency random fields: 8x8 coarse grid -> nearest upsample to
+    (size, size). Distinct rows get near-independent pHashes (smooth,
+    high-contrast)."""
+    if size % 8 != 0:
+        raise ValueError("size must be a multiple of 8")
+    f = size // 8
     coarse = rng.integers(0, 256, size=(n, 8, 8, 3), dtype=np.uint8)
-    return np.repeat(np.repeat(coarse, 4, axis=1), 4, axis=2)
+    return np.repeat(np.repeat(coarse, f, axis=1), f, axis=2)
 
 
 def _phash_stack(imgs: np.ndarray) -> np.ndarray:
@@ -75,6 +79,7 @@ def make_images(
     n: int,
     seed: int = 42,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    size: int = IMG_W,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate the fixture table + injected-truth pair table.
 
@@ -87,7 +92,7 @@ def make_images(
     rng = np.random.default_rng(seed)
     vocab = _vocab(rng)
 
-    imgs = _images_batch(rng, n)  # mutated in place for derived classes
+    imgs = _images_batch(rng, n, size)  # mutated in place for derived classes
     captions: list[str] = ["" for _ in range(n)]
     classes = rng.choice(len(CLASSES), size=n, p=CLASS_P)
     classes[0] = 0  # first row has no earlier base to derive from
@@ -160,8 +165,8 @@ def make_images(
         {
             "image_id": pa.array(ids, pa.string()),
             "bytes": pa.array([imgs[i].tobytes() for i in range(n)], pa.binary()),
-            "w": pa.array(np.full(n, IMG_W, np.int32)),
-            "h": pa.array(np.full(n, IMG_H, np.int32)),
+            "w": pa.array(np.full(n, size, np.int32)),
+            "h": pa.array(np.full(n, size, np.int32)),
             "fmt": pa.array(["raw"] * n, pa.string()),
             "caption": pa.array(captions, pa.string()),
             "phash": pa.array(phashes),
@@ -212,13 +217,15 @@ def _with_shared_run(rng, vocab, caption: str, cfg: DedupConfig) -> str:
 
 
 def write_images_parquet(path: str, n: int, seed: int = 42,
-                         cfg: DedupConfig = DEFAULT_CONFIG) -> pa.Table:
+                         cfg: DedupConfig = DEFAULT_CONFIG,
+                         size: int = IMG_W,
+                         row_group_size: int | None = None) -> pa.Table:
     """Write the fixture table (and its truth pairs alongside) to parquet."""
     import os
     import pyarrow.parquet as pq
 
-    images, truth = make_images(n, seed=seed, cfg=cfg)
+    images, truth = make_images(n, seed=seed, cfg=cfg, size=size)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(images, path)
+    pq.write_table(images, path, row_group_size=row_group_size)
     pq.write_table(truth, path.replace(".parquet", "") + "_truth.parquet")
     return images

@@ -47,12 +47,19 @@ def decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
     return a.reshape(h, w, 3)
 
 
+_GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
 def to_gray(rgb: np.ndarray) -> np.ndarray:
-    """ITU-R BT.601 luma. Accepts (..., h, w, 3) float or uint8."""
-    r = rgb[..., 0].astype(np.float64)
-    g = rgb[..., 1].astype(np.float64)
-    b = rgb[..., 2].astype(np.float64)
-    return 0.299 * r + 0.587 * g + 0.114 * b
+    """ITU-R BT.601 luma (float32). Accepts (..., h, w, 3) float or uint8.
+
+    One contiguous cast + dot: per-channel strided slicing of a uint8
+    stack (`rgb[..., 0].astype(...)`) hits a numpy slow path ~200x slower
+    on large batches. float32 throughout — this sandbox zeroes fresh pages
+    at ~70 MB/s, so halving the working set halves the dominant cost; the
+    pHash sign-vs-median bits are insensitive to the precision.
+    """
+    return np.ascontiguousarray(rgb).astype(np.float32) @ _GRAY_W
 
 
 def resize_gray(img: np.ndarray, size: int = DCT_SIZE) -> np.ndarray:
@@ -64,12 +71,12 @@ def resize_gray(img: np.ndarray, size: int = DCT_SIZE) -> np.ndarray:
     """
     h, w = img.shape[-2], img.shape[-1]
     if h == size and w == size:
-        return img.astype(np.float64)
+        return img.astype(np.float32, copy=False)
     if h % size == 0 and w % size == 0:
         fh, fw = h // size, w // size
         return (
             img.reshape(*img.shape[:-2], size, fh, size, fw)
-            .astype(np.float64)
+            .astype(np.float32, copy=False)
             .mean(axis=(-3, -1))
         )
     # bilinear gather
@@ -94,9 +101,13 @@ def phash_from_gray32(gray32: np.ndarray) -> np.ndarray:
     """
     if gray32.ndim == 2:
         gray32 = gray32[None]
-    # batched 2-D DCT-II: T @ A @ T.T
-    d = np.einsum("jk,nkl,ml->njm", _DCT_T, gray32.astype(np.float64), _DCT_T,
-                  optimize=True)
+    # batched 2-D DCT-II: T @ A @ T.T (float32 tensordots)
+    t32 = _DCT_T.astype(np.float32)
+    d = np.tensordot(
+        np.tensordot(gray32.astype(np.float32, copy=False), t32, axes=([1], [1])),
+        t32,
+        axes=([1], [1]),
+    )  # (n, 32, 32): axes order preserved (row-transform, col-transform)
     low = d[:, :HASH_SIZE, :HASH_SIZE].reshape(len(gray32), HASH_SIZE * HASH_SIZE)
     med = np.median(low, axis=1, keepdims=True)
     bits = (low > med).astype(np.uint8)                     # (n, 64) row-major
@@ -112,11 +123,22 @@ def phash_raw_batch(bufs, ws, hs) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     ws = np.asarray(ws)
     hs = np.asarray(hs)
+    chunk = 1024  # bound the float working set: this sandbox faults in new
+    # pages at ~70 MB/s, so small reused buffers beat one huge allocation
     for (w, h) in {(int(w), int(h)) for w, h in zip(ws, hs)}:
         idx = np.flatnonzero((ws == w) & (hs == h))
-        stack = np.stack([decode_raw(bufs[i], w, h) for i in idx])
-        gray = resize_gray(to_gray(stack))
-        out[idx] = phash_from_gray32(gray)
+        for s in range(0, idx.size, chunk):
+            part = idx[s : s + chunk]
+            # one concatenated frombuffer beats thousands of np.stack copies
+            joined = b"".join(bufs[i] for i in part)
+            if len(joined) != len(part) * w * h * 3:
+                raise ValueError("raw payload size mismatch in batch")
+            stack = np.frombuffer(joined, dtype=np.uint8).reshape(
+                len(part), h, w, 3
+            )
+            gray = resize_gray(to_gray(stack))
+            out[part] = phash_from_gray32(gray)
+            del joined, stack, gray  # free before next chunk -> malloc reuse
     return out
 
 

@@ -160,6 +160,8 @@ def minhash_signatures(
         starts = np.zeros(len(rows), dtype=np.int64)
         np.cumsum(seg_counts[:-1], out=starts[1:])
         sig[rows] = np.minimum.reduceat(h, starts, axis=0)
+        del h, flat, segs  # free before the next chunk allocates -> malloc
+        # reuse (new-page faults cost ~70 MB/s in this sandbox)
     return sig
 
 
@@ -195,6 +197,7 @@ def simhash_from_shingles(
         sums = np.add.reduceat(votes.astype(np.int32), starts, axis=0)
         code = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
         out[rows] = code
+        del bits, votes, sums, flat
         start = end
     return out
 

@@ -148,7 +148,7 @@ def _cluster_from_features(
     hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
                            n_emissions=emissions.count())
 
-    pairs = cold_pairs(emissions, hot, num_partitions)
+    pairs = cold_pairs(emissions, hot, num_partitions, cfg)
     hp = hot_pairs(emissions, hot, cfg)
     if hp is not None:
         pairs = pairs.union(hp)

@@ -94,7 +94,7 @@ def run_text_neardup(
     hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
                            n_emissions=emissions.count())
 
-    pairs = cold_pairs(emissions, hot, num_partitions)
+    pairs = cold_pairs(emissions, hot, num_partitions, cfg)
     hp = hot_pairs(emissions, hot, cfg)
     if hp is not None:
         pairs = pairs.union(hp)

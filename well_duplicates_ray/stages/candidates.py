@@ -49,16 +49,37 @@ def _str_hash64(strings: list[str | None]) -> np.ndarray:
     return out
 
 
+SRC_PLAIN = 0   # LSH / winnow / exact buckets: bucket equality IS the match
+SRC_PHASH = 1   # pHash prefix band: confirm full Hamming <= phash_radius
+SRC_SIMHASH = 2  # SimHash prefix band: confirm full Hamming <= simhash_radius
+
+
 def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """Per-batch, fully vectorized emission of (bucket:int64, image_id) rows."""
+    """Per-batch, fully vectorized emission of candidate bucket rows
+    (bucket:int64, image_id, src:int8, code:int64).
+
+    ``code`` carries the full 64-bit pHash/SimHash for ring emissions so
+    the pair stage can confirm the full Hamming radius *vectorized* right
+    after the self-join: a 16-bit prefix band collides for ~n^2/2^16
+    random pairs (hundreds of thousands at n=60k, ruinous at 10^12), and
+    filtering them with SIMD popcount before the per-pair verifier is the
+    difference between O(true pairs) and O(band collisions) verify work.
+    """
     n = batch.num_rows
     ids = batch["image_id"]
     buckets: list[np.ndarray] = []
     id_idx: list[np.ndarray] = []
+    srcs: list[np.ndarray] = []
+    codes: list[np.ndarray] = []
 
-    def emit(keys: np.ndarray, rows: np.ndarray) -> None:
+    def emit(keys, rows, src=SRC_PLAIN, code=None) -> None:
+        m = len(keys)
         buckets.append(keys.astype(np.uint64))
         id_idx.append(rows)
+        srcs.append(np.full(m, src, dtype=np.int8))
+        codes.append(
+            np.zeros(m, dtype=np.int64) if code is None else code.view(np.int64)
+        )
 
     # --- MinHash LSH bands (skip sentinel/empty signatures) --------------
     mh = batch["minhash"]
@@ -75,7 +96,7 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         ph = batch["phash"].to_numpy().astype(np.int64).view(np.uint64)
         pb = prefix_bands(ph, cfg.phash_bands)
         for bi in range(cfg.phash_bands):
-            emit(mix64(pb[:, bi], 2000 + bi), np.arange(n))
+            emit(mix64(pb[:, bi], 2000 + bi), np.arange(n), SRC_PHASH, ph)
 
     # --- SimHash prefix bands -------------------------------------------
     sh = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
@@ -83,7 +104,7 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     ok = sh != SENTINEL
     rows = np.flatnonzero(ok)
     for bi in range(cfg.simhash_bands):
-        emit(mix64(sb[rows, bi], 3000 + bi), rows)
+        emit(mix64(sb[rows, bi], 3000 + bi), rows, SRC_SIMHASH, sh[rows])
 
     # --- winnowed substring anchors -------------------------------------
     wv, wo = winnow_fingerprints(batch["caption"], cfg.winnow_gram, cfg.winnow_window)
@@ -103,6 +124,8 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         {
             "bucket": pa.array(all_keys),
             "image_id": ids.take(pa.array(all_rows)),
+            "src": pa.array(np.concatenate(srcs)),
+            "code": pa.array(np.concatenate(codes)),
         }
     )
 
@@ -155,15 +178,15 @@ def find_hot_buckets(
     return hot
 
 
-def _pairs_table(a: pa.Array | list, b: pa.Array | list, src: str) -> pa.Table:
-    return pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
-                     "src": pa.array([src] * len(a), pa.string())})
+def _pairs_table(a: pa.Array | list, b: pa.Array | list) -> pa.Table:
+    return pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
 
 
 def cold_pairs(
     emissions: ray.data.Dataset,
     hot: list[int],
     num_partitions: int,
+    cfg: DedupConfig | None = None,
 ) -> ray.data.Dataset:
     """All-pairs within non-hot buckets via a hash-partitioned self-join
     (vectorized; singleton buckets only produce self-pairs, filtered out)."""
@@ -186,19 +209,30 @@ def cold_pairs(
         right_suffix="_r",
     )
 
-    def order_pairs(t: pa.Table) -> pa.Table:
+    if cfg is None:
+        cfg = DedupConfig()
+
+    def order_pairs(t: pa.Table, cfg: DedupConfig = cfg) -> pa.Table:
         import pyarrow.compute as pc
+
+        from well_duplicates_ray.functions.phash import hamming64
 
         # the self-join yields both orientations; keep x<y exactly once
         # (also drops self-pairs) — vectorized Arrow string comparison
         kept = t.filter(pc.less(t["image_id"], t["image_id_r"]))
-        return pa.table(
-            {
-                "a": kept["image_id"],
-                "b": kept["image_id_r"],
-                "src": pa.array(["bucket"] * kept.num_rows, pa.string()),
-            }
+        # ring sources must agree on the FULL code within radius — drop
+        # prefix-band collisions here, vectorized, before the verifier
+        src = kept["src"].to_numpy()
+        code_l = kept["code"].to_numpy().astype(np.int64).view(np.uint64)
+        code_r = kept["code_r"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = hamming64(code_l, code_r)
+        keep = (
+            (src == SRC_PLAIN)
+            | ((src == SRC_PHASH) & (ham <= cfg.phash_radius))
+            | ((src == SRC_SIMHASH) & (ham <= cfg.simhash_radius))
         )
+        kept = kept.filter(pa.array(keep))
+        return pa.table({"a": kept["image_id"], "b": kept["image_id_r"]})
 
     return joined.map_batches(order_pairs, batch_format="pyarrow")
 
@@ -241,7 +275,7 @@ def hot_pairs(
         ids = sorted(set(t["image_id"].to_pylist()))
         hub = ids[0]
         others = ids[1:]
-        return _pairs_table([hub] * len(others), others, "hot")
+        return _pairs_table([hub] * len(others), others)
 
     sub_pairs = salted_rows.groupby("salted").map_groups(
         lambda t: star(t, "salted"), batch_format="pyarrow"
@@ -281,7 +315,14 @@ def dedupe_pairs(
         tbl = pa.concat_tables([_ray.get(r) for r in local.to_arrow_refs()])
         if tbl.num_rows == 0:
             return local
-        return ray.data.from_arrow(tbl.group_by(["a", "b"]).aggregate([]))
+        distinct = tbl.group_by(["a", "b"]).aggregate([])
+        # split into multiple blocks: a single-block dataset would hand the
+        # downstream verify actor pool exactly ONE task (no parallelism)
+        chunk = 16_384
+        parts = [
+            distinct.slice(s, chunk) for s in range(0, distinct.num_rows, chunk)
+        ]
+        return ray.data.from_arrow(parts)
     return (
         local.groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))

@@ -68,54 +68,51 @@ def verify_enriched_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     undecided = np.flatnonzero(kind == "")
     if undecided.size:
-        # per-batch caches (captions repeat across pairs)
-        sh_cache: dict[str, np.ndarray] = {}
-        fp_cache: dict[str, np.ndarray] = {}
-
-        def shingles(c: str) -> np.ndarray:
-            s = sh_cache.get(c)
-            if s is None:
-                v, _ = shingle_hashes([c], cfg.shingle_k)
-                s = np.unique(v)
-                sh_cache[c] = s
-            return s
-
-        def fingerprints(c: str) -> np.ndarray:
-            f = fp_cache.get(c)
-            if f is None:
-                v, _ = winnow_fingerprints([c], cfg.winnow_gram, cfg.winnow_window)
-                f = np.unique(v)
-                fp_cache[c] = f
-            return f
+        # Batched precompute per UNIQUE caption (one vectorized
+        # shingle/winnow pass for the whole batch), then C-speed python
+        # set ops per pair — the per-pair numpy-call version cost ~400 us
+        # per pair; this is ~5 us.
+        caps = list({cap_a[i] for i in undecided} | {cap_b[i] for i in undecided})
+        cap_idx = {c: k for k, c in enumerate(caps)}
+        sv, so = shingle_hashes(caps, cfg.shingle_k)
+        shingle_sets = [
+            frozenset(sv[so[k] : so[k + 1]].tolist()) for k in range(len(caps))
+        ]
+        fv, fo = winnow_fingerprints(caps, cfg.winnow_gram, cfg.winnow_window)
+        fp_sets = [
+            frozenset(fv[fo[k] : fo[k + 1]].tolist()) for k in range(len(caps))
+        ]
 
         L = cfg.substring_min_len
         thr = cfg.jaccard_threshold
         for i in undecided:
-            sa, sb = shingles(cap_a[i]), shingles(cap_b[i])
-            if sa.size and sb.size:
+            ka, kb = cap_idx[cap_a[i]], cap_idx[cap_b[i]]
+            sa, sb = shingle_sets[ka], shingle_sets[kb]
+            if sa and sb:
                 # length-ratio upper bound on Jaccard prunes most pairs
                 # before the exact set intersection
-                if min(sa.size, sb.size) / max(sa.size, sb.size) >= thr:
-                    j = exact_jaccard(sa, sb)
+                la, lb = len(sa), len(sb)
+                if min(la, lb) / max(la, lb) >= thr:
+                    inter = len(sa & sb)
+                    j = inter / (la + lb - inter)
                     jac[i] = j
                     if j >= thr:
                         kind[i] = "jaccard"
                         continue
-            if len(cap_a[i]) >= L and len(cap_b[i]) >= L:
-                # winnowing guarantee: LCS >= L implies a shared selected
-                # fingerprint — the O(n log n) suffix-array LCS only runs
-                # on pairs that pass this O(|fp|) intersection screen
-                fa, fb = fingerprints(cap_a[i]), fingerprints(cap_b[i])
-                if (
-                    fa.size
-                    and fb.size
-                    and np.intersect1d(fa, fb, assume_unique=True).size
-                    and longest_common_substring_len(
-                        cap_a[i].encode(), cap_b[i].encode()
-                    )
-                    >= L
-                ):
-                    kind[i] = "substring"
+            # winnowing guarantee: LCS >= L implies a shared selected
+            # fingerprint — the O(n log n) suffix-array LCS only runs on
+            # pairs that pass this O(1)-ish disjointness screen
+            fa, fb = fp_sets[ka], fp_sets[kb]
+            if (
+                fa
+                and fb
+                and not fa.isdisjoint(fb)
+                and longest_common_substring_len(
+                    cap_a[i].encode(), cap_b[i].encode()
+                )
+                >= L
+            ):
+                kind[i] = "substring"
 
     return pa.table(
         {
