@@ -276,4 +276,51 @@ def exact_jaccard(a_vals: np.ndarray, b_vals: np.ndarray) -> float:
     return inter / (sa.size + sb.size - inter)
 
 
+def segment_unique(
+    values: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sort + dedupe each segment of a flat (values, offsets) layout.
+    Returns new (values, offsets) with each segment sorted ascending and
+    duplicate-free. Fully vectorized (one lexsort over the flat array)."""
+    n = len(offsets) - 1
+    if values.size == 0:
+        return values, offsets
+    seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((values, seg))
+    v = values[order]
+    s = seg[order]
+    keep = np.ones(v.size, dtype=bool)
+    keep[1:] = (v[1:] != v[:-1]) | (s[1:] != s[:-1])
+    v, s = v[keep], s[keep]
+    counts = np.bincount(s, minlength=n)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+    return v, out_offsets
+
+
+def pairwise_intersection_counts(
+    av: np.ndarray, ao: np.ndarray, bv: np.ndarray, bo: np.ndarray
+) -> np.ndarray:
+    """|A_i ∩ B_i| for each segment pair i, where both sides are per-segment
+    sorted + unique (see segment_unique). One lexsort over the combined
+    flat arrays — no per-pair python. This is the vectorized core of the
+    exact-Jaccard and fingerprint-screen verify predicates."""
+    n = len(ao) - 1
+    ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(ao))
+    rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(bo))
+    allv = np.concatenate([av, bv])
+    allr = np.concatenate([ra, rb])
+    side = np.concatenate(
+        [np.zeros(av.size, dtype=np.int8), np.ones(bv.size, dtype=np.int8)]
+    )
+    if allv.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    order = np.lexsort((side, allv, allr))
+    v = allv[order]
+    r = allr[order]
+    s = side[order]
+    hit = (r[1:] == r[:-1]) & (v[1:] == v[:-1]) & (s[1:] != s[:-1])
+    return np.bincount(r[1:][hit], minlength=n)
+
+
 SENTINEL = _SENTINEL

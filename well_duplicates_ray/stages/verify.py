@@ -32,7 +32,8 @@ from well_duplicates_ray.config import DedupConfig
 from well_duplicates_ray.functions.phash import hamming64
 from well_duplicates_ray.functions.suffix import longest_common_substring_len
 from well_duplicates_ray.functions.text import (
-    exact_jaccard,
+    pairwise_intersection_counts,
+    segment_unique,
     shingle_hashes,
     winnow_fingerprints,
 )
@@ -40,15 +41,16 @@ from well_duplicates_ray.functions.text import (
 FEATURE_COLS = ["image_id", "caption", "phash", "content_sha"]
 
 
-def verify_enriched_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+def verify_enriched_batch(
+    batch: pa.Table, cfg: DedupConfig
+) -> pa.Table:
     """Verify a batch of pairs that already carries both sides' features
-    (columns a, b, caption_a, caption_b, phash_a, phash_b, sha_a, sha_b)."""
-    n = batch.num_rows
-    cap_a = batch["caption_a"].to_pylist()
-    cap_b = batch["caption_b"].to_pylist()
-    sha_a = batch["sha_a"].to_pylist()
-    sha_b = batch["sha_b"].to_pylist()
+    (columns a, b, caption_a, caption_b, phash_a, phash_b, sha_a, sha_b).
+    All predicates are vectorized; only the final suffix-array LCS
+    confirmation loops (over fingerprint-screened pairs only)."""
+    import pyarrow.compute as pc
 
+    n = batch.num_rows
     if "phash_a" in batch.column_names:
         ph_a = batch["phash_a"].to_numpy().astype(np.int64).view(np.uint64)
         ph_b = batch["phash_b"].to_numpy().astype(np.int64).view(np.uint64)
@@ -58,8 +60,13 @@ def verify_enriched_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     kind = np.full(n, "", dtype=object)
     jac = np.full(n, -1.0)
 
-    sha_eq = np.fromiter((x == y for x, y in zip(sha_a, sha_b)), bool, n)
-    cap_eq = np.fromiter((x == y for x, y in zip(cap_a, cap_b)), bool, n)
+    # equality predicates stay in Arrow C kernels — no python string churn
+    sha_eq = pc.equal(batch["sha_a"], batch["sha_b"]).to_numpy(
+        zero_copy_only=False
+    )
+    cap_eq = pc.equal(batch["caption_a"], batch["caption_b"]).to_numpy(
+        zero_copy_only=False
+    )
     ph_near = (ring >= 0) & (ring <= cfg.phash_radius)
 
     kind[ph_near] = "phash"
@@ -68,51 +75,48 @@ def verify_enriched_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     undecided = np.flatnonzero(kind == "")
     if undecided.size:
-        # Batched precompute per UNIQUE caption (one vectorized
-        # shingle/winnow pass for the whole batch), then C-speed python
-        # set ops per pair — the per-pair numpy-call version cost ~400 us
-        # per pair; this is ~5 us.
-        caps = list({cap_a[i] for i in undecided} | {cap_b[i] for i in undecided})
-        cap_idx = {c: k for k, c in enumerate(caps)}
-        sv, so = shingle_hashes(caps, cfg.shingle_k)
-        shingle_sets = [
-            frozenset(sv[so[k] : so[k + 1]].tolist()) for k in range(len(caps))
-        ]
-        fv, fo = winnow_fingerprints(caps, cfg.winnow_gram, cfg.winnow_window)
-        fp_sets = [
-            frozenset(fv[fo[k] : fo[k + 1]].tolist()) for k in range(len(caps))
-        ]
+        # Fully vectorized undecided path: per-pair exact Jaccard and
+        # fingerprint screen via segment sort/merge counting — no python
+        # sets, no per-caption cache (per-batch set construction cost
+        # ~300 core-seconds at n=60k before this).
+        und = pa.array(undecided)
+        arr_a = batch["caption_a"].take(und)
+        arr_b = batch["caption_b"].take(und)
 
-        L = cfg.substring_min_len
-        thr = cfg.jaccard_threshold
-        for i in undecided:
-            ka, kb = cap_idx[cap_a[i]], cap_idx[cap_b[i]]
-            sa, sb = shingle_sets[ka], shingle_sets[kb]
-            if sa and sb:
-                # length-ratio upper bound on Jaccard prunes most pairs
-                # before the exact set intersection
-                la, lb = len(sa), len(sb)
-                if min(la, lb) / max(la, lb) >= thr:
-                    inter = len(sa & sb)
-                    j = inter / (la + lb - inter)
-                    jac[i] = j
-                    if j >= thr:
-                        kind[i] = "jaccard"
-                        continue
-            # winnowing guarantee: LCS >= L implies a shared selected
-            # fingerprint — the O(n log n) suffix-array LCS only runs on
-            # pairs that pass this O(1)-ish disjointness screen
-            fa, fb = fp_sets[ka], fp_sets[kb]
-            if (
-                fa
-                and fb
-                and not fa.isdisjoint(fb)
-                and longest_common_substring_len(
-                    cap_a[i].encode(), cap_b[i].encode()
-                )
-                >= L
-            ):
-                kind[i] = "substring"
+        # exact Jaccard over unique byte shingles, all pairs at once
+        sav, sao = segment_unique(*shingle_hashes(arr_a, cfg.shingle_k))
+        sbv, sbo = segment_unique(*shingle_hashes(arr_b, cfg.shingle_k))
+        na = np.diff(sao)
+        nb = np.diff(sbo)
+        inter = pairwise_intersection_counts(sav, sao, sbv, sbo)
+        union = na + nb - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        jac[undecided] = np.where((na > 0) & (nb > 0), j, -1.0)
+        jac_dup = (na > 0) & (nb > 0) & (j >= cfg.jaccard_threshold)
+        kind[undecided[jac_dup]] = "jaccard"
+
+        # winnowing guarantee screen: LCS >= L implies a shared selected
+        # fingerprint; the O(n log n) suffix-array LCS runs only on pairs
+        # that share one (and aren't already decided)
+        rest = np.flatnonzero(~jac_dup)
+        if rest.size:
+            fav, fao = segment_unique(
+                *winnow_fingerprints(arr_a.take(pa.array(rest)),
+                                     cfg.winnow_gram, cfg.winnow_window)
+            )
+            fbv, fbo = segment_unique(
+                *winnow_fingerprints(arr_b.take(pa.array(rest)),
+                                     cfg.winnow_gram, cfg.winnow_window)
+            )
+            fp_hit = pairwise_intersection_counts(fav, fao, fbv, fbo) > 0
+            L = cfg.substring_min_len
+            for k in np.flatnonzero(fp_hit):
+                i = undecided[rest[k]]
+                ca = arr_a[int(rest[k])].as_py()
+                cb = arr_b[int(rest[k])].as_py()
+                if longest_common_substring_len(ca.encode(), cb.encode()) >= L:
+                    kind[i] = "substring"
 
     return pa.table(
         {
@@ -132,31 +136,35 @@ class BroadcastVerifier:
 
     def __init__(self, cfg: dict, feats_ref):
         self.cfg = DedupConfig.from_dict(cfg)
+        # zero-copy from plasma: all actors on a node SHARE this table's
+        # buffers; init builds no python-side structures (a 60k-entry dict
+        # per actor was the old verify bottleneck)
         feats: pa.Table = ray.get(feats_ref)
-        ids = feats["image_id"].to_pylist()
-        self.index = {x: i for i, x in enumerate(ids)}
-        self.captions = feats["caption"].to_pylist()
-        self.phash = (
-            feats["phash"].to_numpy().astype(np.int64)
-            if "phash" in feats.column_names
-            else None
-        )
-        self.sha = feats["content_sha"].to_pylist()
+        self.feats = feats  # zero-copy; driver combined chunks already
+        self.ids = feats["image_id"].combine_chunks()
+        self.has_phash = "phash" in feats.column_names
+
+    def _take(self, col: str, pos) -> pa.Array:
+        out = self.feats[col].take(pos)
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ia = [self.index[x] for x in batch["a"].to_pylist()]
-        ib = [self.index[x] for x in batch["b"].to_pylist()]
+        import pyarrow.compute as pc
+
+        # vectorized hash lookup in Arrow C++ (no python dict)
+        pos_a = pc.index_in(batch["a"], value_set=self.ids)
+        pos_b = pc.index_in(batch["b"], value_set=self.ids)
         cols = {
             "a": batch["a"],
             "b": batch["b"],
-            "caption_a": pa.array([self.captions[i] for i in ia], pa.string()),
-            "caption_b": pa.array([self.captions[i] for i in ib], pa.string()),
-            "sha_a": pa.array([self.sha[i] for i in ia], pa.string()),
-            "sha_b": pa.array([self.sha[i] for i in ib], pa.string()),
+            "caption_a": self._take("caption", pos_a),
+            "caption_b": self._take("caption", pos_b),
+            "sha_a": self._take("content_sha", pos_a),
+            "sha_b": self._take("content_sha", pos_b),
         }
-        if self.phash is not None:
-            cols["phash_a"] = pa.array(self.phash[ia])
-            cols["phash_b"] = pa.array(self.phash[ib])
+        if self.has_phash:
+            cols["phash_a"] = self._take("phash", pos_a)
+            cols["phash_b"] = self._take("phash", pos_b)
         return verify_enriched_batch(pa.table(cols), self.cfg)
 
 
@@ -185,10 +193,10 @@ def verify_pairs(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Dispatch to broadcast or shuffle feature attachment, then verify."""
-    cols = [c for c in FEATURE_COLS if c in feats.schema().names]
-    narrow = feats.select_columns(cols)
+    present = set(feats.schema().names)
+    cols = [c for c in FEATURE_COLS if c in present]
     if n_feature_rows <= cfg.broadcast_threshold:
-        feats_ref = ray.put(_collect(narrow))
+        feats_ref = ray.put(_collect(feats.select_columns(cols)).combine_chunks())
         # autoscaling pool (min 1): a fixed-size pool could reserve every
         # CPU and starve the upstream join/aggregate operators (deadlock on
         # small clusters — see ray_guide "actor-pool sizing")
@@ -199,7 +207,8 @@ def verify_pairs(
             concurrency=(1, cfg.decode_concurrency),
             fn_constructor_args=(cfg.to_dict(), feats_ref),
         )
-    enriched = attach_features_shuffle(pairs, narrow, num_partitions)
+    enriched = attach_features_shuffle(pairs, feats.select_columns(cols),
+                                       num_partitions)
     return enriched.map_batches(
         lambda t: verify_enriched_batch(t, cfg), batch_format="pyarrow"
     )
