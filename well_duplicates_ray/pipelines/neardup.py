@@ -33,7 +33,7 @@ from well_duplicates_ray.stages.candidates import (
     hot_pairs,
 )
 from well_duplicates_ray.stages.components import connected_components
-from well_duplicates_ray.stages.signatures import FeatureExtractor
+from well_duplicates_ray.stages.signatures import make_feature_fn
 from well_duplicates_ray.stages.verify import verify_pairs
 
 
@@ -66,12 +66,14 @@ def build_features(
     image_id, caption, phash, decode_ok, phash_match, content_sha,
     minhash (fixed list<int64>), simhash, n_shingles.
     """
+    # stateless task pool: Ray fuses this with the parquet read, so the
+    # decoded image bytes never enter the object store; the (cheap) hash
+    # bank is cached per worker process (see make_feature_fn). Actor pools
+    # stay in use where state is genuinely heavy (stages/multimodal.py).
     return images.map_batches(
-        FeatureExtractor,
+        make_feature_fn(cfg.to_dict()),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.decode_concurrency),  # autoscale: never starve
-        fn_constructor_args=(cfg.to_dict(),),     # the other stages
     )
 
 
@@ -159,16 +161,9 @@ def _cluster_from_features(
         lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
     ).materialize()
 
-    edges_int = edges.map_batches(
-        lambda t: pa.table(
-            {"a": pa.array(ids_to_int(t["a"])), "b": pa.array(ids_to_int(t["b"]))}
-        ),
-        batch_format="pyarrow",
-    )
-    nodes = feats.map_batches(
-        lambda t: pa.table({"node": pa.array(ids_to_int(t["image_id"]))}),
-        batch_format="pyarrow",
-    )
+    # edges already carry int64 node ids end-to-end
+    edges_int = edges.select_columns(["a", "b"])
+    nodes = feats.select_columns(["node"])
     comp = connected_components(
         edges_int, nodes, num_partitions,
         driver_threshold=cfg.broadcast_threshold,

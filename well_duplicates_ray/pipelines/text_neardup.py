@@ -27,7 +27,7 @@ from well_duplicates_ray.stages.candidates import (
     hot_pairs,
 )
 from well_duplicates_ray.stages.components import connected_components
-from well_duplicates_ray.stages.signatures import MinHashSignatures
+from well_duplicates_ray.stages.signatures import make_signature_fn
 from well_duplicates_ray.stages.verify import verify_pairs
 
 
@@ -49,17 +49,16 @@ def build_text_features(
         return pa.table(
             {
                 "image_id": pc.cast(t[id_col], pa.string()),
+                "node": pc.cast(t[id_col], pa.int64()),
                 "caption": text,
                 "content_sha": pa.array(sha, pa.string()),
             }
         )
 
     return docs.map_batches(adapt, batch_format="pyarrow").map_batches(
-        MinHashSignatures,
+        make_signature_fn(cfg.to_dict()),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.decode_concurrency),
-        fn_constructor_args=(cfg.to_dict(),),
     )
 
 
@@ -105,16 +104,8 @@ def run_text_neardup(
         lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
     ).materialize()
 
-    def to_int_edges(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"a": t["a"].cast(pa.int64()), "b": t["b"].cast(pa.int64())}
-        )
-
-    edges_int = edges.map_batches(to_int_edges, batch_format="pyarrow")
-    nodes = feats.map_batches(
-        lambda t: pa.table({"node": t["image_id"].cast(pa.int64())}),
-        batch_format="pyarrow",
-    )
+    edges_int = edges.select_columns(["a", "b"])
+    nodes = feats.select_columns(["node"])
     comp = connected_components(
         edges_int, nodes, num_partitions,
         driver_threshold=cfg.broadcast_threshold,

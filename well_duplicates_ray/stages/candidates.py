@@ -56,7 +56,12 @@ SRC_SIMHASH = 2  # SimHash prefix band: confirm full Hamming <= simhash_radius
 
 def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     """Per-batch, fully vectorized emission of candidate bucket rows
-    (bucket:int64, image_id, src:int8, code:int64).
+    (bucket:int64, node:int64, src:int8, code:int64).
+
+    Rows are keyed by the int64 ``node`` id (not the string image_id):
+    every downstream shuffle — the pair self-join, pair dedupe, the
+    components iteration — moves 8-byte ints instead of variable-length
+    strings, and min-id tie-breaking is numeric everywhere.
 
     ``code`` carries the full 64-bit pHash/SimHash for ring emissions so
     the pair stage can confirm the full Hamming radius *vectorized* right
@@ -66,7 +71,7 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     difference between O(true pairs) and O(band collisions) verify work.
     """
     n = batch.num_rows
-    ids = batch["image_id"]
+    nodes = batch["node"]
     buckets: list[np.ndarray] = []
     id_idx: list[np.ndarray] = []
     srcs: list[np.ndarray] = []
@@ -123,7 +128,7 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     return pa.table(
         {
             "bucket": pa.array(all_keys),
-            "image_id": ids.take(pa.array(all_rows)),
+            "node": nodes.take(pa.array(all_rows)),
             "src": pa.array(np.concatenate(srcs)),
             "code": pa.array(np.concatenate(codes)),
         }
@@ -178,8 +183,8 @@ def find_hot_buckets(
     return hot
 
 
-def _pairs_table(a: pa.Array | list, b: pa.Array | list) -> pa.Table:
-    return pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+def _pairs_table(a, b) -> pa.Table:
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
 def cold_pairs(
@@ -219,7 +224,7 @@ def cold_pairs(
 
         # the self-join yields both orientations; keep x<y exactly once
         # (also drops self-pairs) — vectorized Arrow string comparison
-        kept = t.filter(pc.less(t["image_id"], t["image_id_r"]))
+        kept = t.filter(pc.less(t["node"], t["node_r"]))
         # ring sources must agree on the FULL code within radius — drop
         # prefix-band collisions here, vectorized, before the verifier
         src = kept["src"].to_numpy()
@@ -232,7 +237,7 @@ def cold_pairs(
             | ((src == SRC_SIMHASH) & (ham <= cfg.simhash_radius))
         )
         kept = kept.filter(pa.array(keep))
-        return pa.table({"a": kept["image_id"], "b": kept["image_id_r"]})
+        return pa.table({"a": kept["node"], "b": kept["node_r"]})
 
     return joined.map_batches(order_pairs, batch_format="pyarrow")
 
@@ -261,29 +266,29 @@ def hot_pairs(
         if t.num_rows == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "salted": pa.array([], pa.int64()),
-                             "image_id": pa.array([], pa.string())})
+                             "node": pa.array([], pa.int64())})
         b = t["bucket"].to_numpy()
-        idh = _str_hash64(t["image_id"].to_pylist()) % np.uint64(n_salt)
+        idh = mix64(t["node"].to_numpy().view(np.uint64), 7002) % np.uint64(n_salt)
         salted = mix64(b.view(np.uint64) + idh, 7001).view(np.int64)
         return pa.table({"bucket": t["bucket"], "salted": pa.array(salted),
-                         "image_id": t["image_id"]})
+                         "node": t["node"]})
 
     salted_rows = emissions.map_batches(keep_hot_salted, batch_format="pyarrow")
 
     def star(t: pa.Table, key: str) -> pa.Table:
-        import pandas as pd  # noqa: F401
-        ids = sorted(set(t["image_id"].to_pylist()))
+        ids = np.unique(t["node"].to_numpy())
         hub = ids[0]
         others = ids[1:]
-        return _pairs_table([hub] * len(others), others)
+        return _pairs_table(np.full(others.size, hub), others)
 
     sub_pairs = salted_rows.groupby("salted").map_groups(
         lambda t: star(t, "salted"), batch_format="pyarrow"
     )
 
     def sub_min(t: pa.Table) -> pa.Table:
-        ids = min(t["image_id"].to_pylist())
-        return pa.table({"bucket": t["bucket"][:1], "image_id": pa.array([ids])})
+        m = int(t["node"].to_numpy().min())
+        return pa.table({"bucket": t["bucket"][:1],
+                         "node": pa.array([m], pa.int64())})
 
     reps = salted_rows.groupby("salted").map_groups(sub_min, batch_format="pyarrow")
     rep_pairs = reps.groupby("bucket").map_groups(

@@ -22,10 +22,15 @@ from well_duplicates_ray.functions.text import (
 
 
 class FeatureExtractor:
-    """Fused actor: validate -> decode/pHash-verify -> MinHash/SimHash in
-    one ``map_batches`` pool. One actor pool instead of three stages saves
-    two pool spin-ups and two inter-stage object-store hops; the stages
-    stay individually testable as their own classes."""
+    """Fused stage: validate -> decode/pHash-verify -> MinHash/SimHash in
+    one ``map_batches``. One fused stage instead of three saves two
+    inter-stage object-store hops; the stages stay individually testable
+    as their own classes.
+
+    Also emits ``node:int64`` (digits of image_id — "img%08d" and plain
+    integer ids both parse): every downstream shuffle keys on the 8-byte
+    int, never the string id.
+    """
 
     def __init__(self, cfg: dict | None = None):
         from well_duplicates_ray.stages.decode import DecodePHash, validate_images
@@ -35,7 +40,56 @@ class FeatureExtractor:
         self._sign = MinHashSignatures(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self._sign(self._decode(self._validate(batch)))
+        import pyarrow.compute as pc
+
+        out = self._sign(self._decode(self._validate(batch)))
+        digits = pc.replace_substring_regex(out["image_id"], r"[^0-9]", "")
+        return out.append_column("node", digits.cast(pa.int64()))
+
+
+_FX_CACHE: dict = {}
+_MS_CACHE: dict = {}
+
+
+def make_signature_fn(cfg_dict: dict | None):
+    """MinHashSignatures as a worker-cached task function (same rationale
+    as make_feature_fn)."""
+    import json
+
+    key = json.dumps(cfg_dict, sort_keys=True) if cfg_dict else ""
+
+    def signature_fn(batch: pa.Table) -> pa.Table:
+        ms = _MS_CACHE.get(key)
+        if ms is None:
+            ms = MinHashSignatures(cfg_dict)
+            _MS_CACHE[key] = ms
+        return ms(batch)
+
+    return signature_fn
+
+
+def make_feature_fn(cfg_dict: dict | None):
+    """Feature stage as a plain function for stateless task pools.
+
+    The per-"actor" state here is a seeded hash bank that costs
+    microseconds to build, so tasks (cached per worker process) beat an
+    actor pool: Ray fuses the function with the parquet read — the
+    decoded image bytes never enter the object store — and task pools
+    have no autoscaling ramp. Actor pools remain the right shape for
+    heavy state (codec/model-backed stages, see stages/multimodal.py).
+    """
+    import json
+
+    key = json.dumps(cfg_dict, sort_keys=True) if cfg_dict else ""
+
+    def feature_fn(batch: pa.Table) -> pa.Table:
+        fx = _FX_CACHE.get(key)
+        if fx is None:
+            fx = FeatureExtractor(cfg_dict)
+            _FX_CACHE[key] = fx
+        return fx(batch)
+
+    return feature_fn
 
 
 class MinHashSignatures:

@@ -38,7 +38,7 @@ from well_duplicates_ray.functions.text import (
     winnow_fingerprints,
 )
 
-FEATURE_COLS = ["image_id", "caption", "phash", "content_sha"]
+FEATURE_COLS = ["node", "caption", "phash", "content_sha"]
 
 
 def verify_enriched_batch(
@@ -141,7 +141,7 @@ class BroadcastVerifier:
         # per actor was the old verify bottleneck)
         feats: pa.Table = ray.get(feats_ref)
         self.feats = feats  # zero-copy; driver combined chunks already
-        self.ids = feats["image_id"].combine_chunks()
+        self.ids = feats["node"].combine_chunks()
         self.has_phash = "phash" in feats.column_names
 
     def _take(self, col: str, pos) -> pa.Array:
@@ -168,6 +168,27 @@ class BroadcastVerifier:
         return verify_enriched_batch(pa.table(cols), self.cfg)
 
 
+_BV_CACHE: dict = {}
+
+
+def make_verify_fn(cfg_dict: dict, feats_ref):
+    """Broadcast verifier as a plain task function (cached per worker
+    process, keyed by the broadcast object ref). Task pools fuse with the
+    upstream pair blocks and have no actor-pool autoscaling ramp; the
+    plasma table is shared zero-copy across every worker on the node."""
+
+    def verify_fn(batch: pa.Table) -> pa.Table:
+        key = feats_ref.hex()
+        v = _BV_CACHE.get(key)
+        if v is None:
+            _BV_CACHE.clear()  # one broadcast generation at a time
+            v = BroadcastVerifier(cfg_dict, feats_ref)
+            _BV_CACHE[key] = v
+        return v(batch)
+
+    return verify_fn
+
+
 def attach_features_shuffle(
     pairs: ray.data.Dataset,
     feats: ray.data.Dataset,
@@ -176,8 +197,8 @@ def attach_features_shuffle(
     """Hash-partitioned feature attachment for feature tables too large to
     broadcast: two joins on image_id (SURVEY.md G14 large-side path)."""
     present = set(feats.schema().names)
-    ren_a = {"image_id": "a", "caption": "caption_a", "content_sha": "sha_a"}
-    ren_b = {"image_id": "b", "caption": "caption_b", "content_sha": "sha_b"}
+    ren_a = {"node": "a", "caption": "caption_a", "content_sha": "sha_a"}
+    ren_b = {"node": "b", "caption": "caption_b", "content_sha": "sha_b"}
     if "phash" in present:
         ren_a["phash"] = "phash_a"
         ren_b["phash"] = "phash_b"
@@ -197,15 +218,12 @@ def verify_pairs(
     cols = [c for c in FEATURE_COLS if c in present]
     if n_feature_rows <= cfg.broadcast_threshold:
         feats_ref = ray.put(_collect(feats.select_columns(cols)).combine_chunks())
-        # autoscaling pool (min 1): a fixed-size pool could reserve every
-        # CPU and starve the upstream join/aggregate operators (deadlock on
-        # small clusters — see ray_guide "actor-pool sizing")
+        # stateless task pool (worker-cached verifier): elastic, no
+        # autoscaling-actor ramp, fuses with upstream blocks
         return pairs.map_batches(
-            BroadcastVerifier,
+            make_verify_fn(cfg.to_dict(), feats_ref),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(1, cfg.decode_concurrency),
-            fn_constructor_args=(cfg.to_dict(), feats_ref),
         )
     enriched = attach_features_shuffle(pairs, feats.select_columns(cols),
                                        num_partitions)
