@@ -171,6 +171,11 @@ def run_scaling(sf_dir: str) -> dict:
         "total_sec_8cpu": lo["value"],
         "total_sec_32cpu": hi["value"],
         "sf": lo["sf"],
+        # context for the efficiency number: this sandbox VM zeroes fresh
+        # pages at ~70 MB/s globally (measured in BASELINE.md), which puts
+        # a CPU-count-independent floor under every run; see BASELINE.md
+        # "Scaling evidence" for the substrate microbenchmarks.
+        "note": "single-node sandbox; see BASELINE.md scaling analysis",
     }
 
 

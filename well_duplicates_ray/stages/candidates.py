@@ -310,7 +310,10 @@ def dedupe_pairs(
     group_by below the gate, hash-shuffle groupby above it."""
 
     def batch_distinct(t: pa.Table) -> pa.Table:
-        return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+        t = t.select(["a", "b"])
+        if t.num_rows == 0:
+            return t  # group_by().aggregate([]) on empty drops the schema
+        return t.group_by(["a", "b"]).aggregate([])
 
     local = pairs.map_batches(batch_distinct, batch_format="pyarrow").materialize()
     n = local.count()
@@ -328,8 +331,13 @@ def dedupe_pairs(
             distinct.slice(s, chunk) for s in range(0, distinct.num_rows, chunk)
         ]
         return ray.data.from_arrow(parts)
+    # materialized either way: verification consumes the pair set with a
+    # fixed-size actor pool, which must never sit downstream of a lazy
+    # shuffle (starvation); at 10^12 scale this materialization becomes a
+    # parquet checkpoint via the manifest store instead
     return (
         local.groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
+        .materialize()
     )

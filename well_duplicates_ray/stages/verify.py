@@ -218,12 +218,18 @@ def verify_pairs(
     cols = [c for c in FEATURE_COLS if c in present]
     if n_feature_rows <= cfg.broadcast_threshold:
         feats_ref = ray.put(_collect(feats.select_columns(cols)).combine_chunks())
-        # stateless task pool (worker-cached verifier): elastic, no
-        # autoscaling-actor ramp, fuses with upstream blocks
+        # FIXED-size actor pool: each actor resolves the broadcast once in
+        # __init__ (zero-copy plasma). A task-based variant ray.get()s
+        # inside tasks, which the raylet treats as blocked workers and
+        # answers with a worker-spawn storm; an AUTOSCALING pool ramps up
+        # too slowly and serializes the stage. Safe because the pair set
+        # is always materialized before this stage (dedupe_pairs).
         return pairs.map_batches(
-            make_verify_fn(cfg.to_dict(), feats_ref),
+            BroadcastVerifier,
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
+            concurrency=min(8, cfg.decode_concurrency),
+            fn_constructor_args=(cfg.to_dict(), feats_ref),
         )
     enriched = attach_features_shuffle(pairs, feats.select_columns(cols),
                                        num_partitions)
