@@ -179,8 +179,51 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def _burn(_):
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < 0.5:
+        x += 1
+    return x
+
+
+def run_substrate() -> dict:
+    """Microbenchmarks of the sandbox substrate, for interpreting the
+    scaling numbers (BASELINE.md): this VM's first-touch page-zero rate is
+    ~70 MB/s and globally serialized, while CPU compute scales linearly —
+    so any stage that allocates fresh memory hits a CPU-count-independent
+    wall that a real cluster does not have."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.empty(400_000_000, np.uint8)
+    a[::4096] = 1  # touch every page
+    first_touch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    a[:] = 2
+    rewrite = time.perf_counter() - t0
+    del a
+
+    def cpu_rate(n):
+        with mp.Pool(n) as p:
+            return sum(p.map(_burn, range(n))) / n
+
+    r1, r32 = cpu_rate(1), cpu_rate(32)
+    return {
+        "metric": "substrate_probes",
+        "page_zero_MBps": round(400 / first_touch, 1),
+        "warm_rewrite_MBps": round(400 / rewrite, 1),
+        "cpu_scaling_32proc_vs_1": round(r32 / r1, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    if "--substrate" in sys.argv:
+        print(json.dumps(run_substrate()))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
         return
