@@ -222,6 +222,84 @@ def part_topk_price(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def running_value_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Window function: per-user running sum ordered by (ts, event_id),
+    expressed as groupby(key).map_groups over the sorted group (the
+    ray_guide 'streaming-shaped workloads' pattern). Cent-quantized so the
+    running sum is integer-exact and order-stable for value hashing."""
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "running_cents": np.cumsum(cents)}
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(sf_dir: str) -> ray.data.Dataset:
+    """Session windows: per-user maximal runs with inter-event gaps <=
+    30 minutes; emits each event's 0-based session index. Ordering state
+    lives inside the sorted group (no watermarks — batch semantics)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "session_idx": gaps.cumsum().astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def docs_unique_text(sf_dir: str) -> ray.data.Dataset:
+    """Semi-join shape (ray_guide 'Joins and lookups'): doc_ids whose text
+    occurs exactly once — the singleton-count key set is broadcast and the
+    filter runs inside map_batches (no shuffle join)."""
+    singles = (
+        _read(sf_dir, "documents", ["text"])
+        .groupby("text")
+        .aggregate(Count(alias_name="cnt"))
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["cnt"], pa.scalar(1, pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .select_columns(["text"])
+    )
+    import ray as _ray
+
+    keys = set(
+        pa.concat_tables([_ray.get(r) for r in singles.to_arrow_refs()])[
+            "text"
+        ].to_pylist()
+    )
+    ref = ray.put(keys)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pa.array([x in ks for x in t["text"].to_pylist()])
+        return t.filter(mask).select(["doc_id"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -364,6 +442,31 @@ SQL_ORACLES: dict[str, str] = {
     "part_topk_price": """
         SELECT p_partkey, p_name, p_retailprice FROM part
         ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+    "running_value_per_user": """
+        SELECT event_id,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS running_cents
+        FROM events
+    """,
+    "sessionize_events": f"""
+        SELECT event_id,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_idx
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL '{SESSION_GAP_MIN} minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        )
+    """,
+    "docs_unique_text": """
+        SELECT doc_id FROM documents
+        WHERE text IN (SELECT text FROM documents
+                       GROUP BY text HAVING COUNT(*) = 1)
     """,
     "ann_topk_cosine": f"""
         WITH qv AS (SELECT vec_id AS qid, embedding AS qe
@@ -638,6 +741,9 @@ SQL_QUERIES: dict[str, Callable] = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "part_topk_price": part_topk_price,
+    "running_value_per_user": running_value_per_user,
+    "sessionize_events": sessionize_events,
+    "docs_unique_text": docs_unique_text,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
