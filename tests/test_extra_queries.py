@@ -14,14 +14,14 @@ SF_DIR = "/root/testdata/sf0.001"
 CFG = DedupConfig()
 
 
-def _text_oracle_clusters(docs: pd.DataFrame) -> dict[int, int]:
+def _text_oracle_clusters(docs: pd.DataFrame, cfg=CFG) -> dict[int, int]:
     """O(n^2) text dup oracle: text equality / Jaccard>=thr / LCS>=L."""
     ids = docs["doc_id"].tolist()
     texts = docs["text"].fillna("").tolist()
     n = len(ids)
-    vals, offs = shingle_hashes(texts, CFG.shingle_k)
+    vals, offs = shingle_hashes(texts, cfg.shingle_k)
     sh = [frozenset(vals[offs[i] : offs[i + 1]].tolist()) for i in range(n)]
-    L = CFG.substring_min_len
+    L = cfg.substring_min_len
     grams = [
         frozenset(t[i : i + L] for i in range(len(t) - L + 1))
         if len(t) >= L
@@ -29,7 +29,7 @@ def _text_oracle_clusters(docs: pd.DataFrame) -> dict[int, int]:
         for t in texts
     ]
     dsu = DSU(n)
-    thr = CFG.jaccard_threshold
+    thr = cfg.jaccard_threshold
     for i in range(n):
         for j in range(i + 1, n):
             dup = texts[i] == texts[j]
@@ -50,15 +50,17 @@ def test_text_neardup_matches_bruteforce(ray_session):
     import ray.data
     from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
 
+    from well_duplicates_ray.pipelines.queries import DOC_CFG
+
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     out = run_text_neardup(
         ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
                               columns=["doc_id", "text"]),
-        CFG,
+        DOC_CFG,
         num_partitions=4,
     )
     got = {r["doc_id"]: r["component"] for r in out["clusters"].take_all()}
-    want = _text_oracle_clusters(docs)
+    want = _text_oracle_clusters(docs, DOC_CFG)
     assert set(got) == set(want)
     # same partition structure: components induce identical co-clustering
     from collections import defaultdict

@@ -496,13 +496,22 @@ SQL_ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 
+# Documents are longer word-soup texts from a small vocabulary: at the
+# caption-tuned L=24 nearly every doc pair shares a run of common words
+# and the table collapses into a few mega-clusters (249 components at
+# sf0.1); L=48 (winnow window 25) keeps the substring predicate meaningful
+# (4756 components) and cuts the pairwise work ~5x. Same config feeds the
+# brute-force oracle in tests — "same shingle/signature config" holds.
+DOC_CFG = DedupConfig(substring_min_len=48, winnow_gram=24)
+
+
 def neardup_documents_minhash(sf_dir: str) -> ray.data.Dataset:
     """MinHash-LSH + SimHash + substring near-dup clusters over documents
     (the text instantiation of the flagship; SURVEY.md §2 G5-G15)."""
     from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return run_text_neardup(docs, CFG)["clusters"]
+    return run_text_neardup(docs, DOC_CFG)["clusters"]
 
 
 def simhash_documents(sf_dir: str) -> ray.data.Dataset:
