@@ -168,27 +168,6 @@ class BroadcastVerifier:
         return verify_enriched_batch(pa.table(cols), self.cfg)
 
 
-_BV_CACHE: dict = {}
-
-
-def make_verify_fn(cfg_dict: dict, feats_ref):
-    """Broadcast verifier as a plain task function (cached per worker
-    process, keyed by the broadcast object ref). Task pools fuse with the
-    upstream pair blocks and have no actor-pool autoscaling ramp; the
-    plasma table is shared zero-copy across every worker on the node."""
-
-    def verify_fn(batch: pa.Table) -> pa.Table:
-        key = feats_ref.hex()
-        v = _BV_CACHE.get(key)
-        if v is None:
-            _BV_CACHE.clear()  # one broadcast generation at a time
-            v = BroadcastVerifier(cfg_dict, feats_ref)
-            _BV_CACHE[key] = v
-        return v(batch)
-
-    return verify_fn
-
-
 def attach_features_shuffle(
     pairs: ray.data.Dataset,
     feats: ray.data.Dataset,
