@@ -514,6 +514,17 @@ def neardup_documents_minhash(sf_dir: str) -> ray.data.Dataset:
     return run_text_neardup(docs, DOC_CFG)["clusters"]
 
 
+def neardup_documents_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Verified near-dup PAIRS over documents with their detection kind —
+    the n-gram-Jaccard / substring / exact dedup variants surfaced at pair
+    granularity (a, b, kind, jaccard)."""
+    from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = run_text_neardup(docs, DOC_CFG)["edges"]
+    return edges.select_columns(["a", "b", "kind", "jaccard"])
+
+
 def simhash_documents(sf_dir: str) -> ray.data.Dataset:
     """64-bit SimHash fingerprint per document (SURVEY.md §2 G7)."""
     from well_duplicates_ray.functions.text import (
@@ -726,6 +737,7 @@ def image_features(sf_dir: str) -> ray.data.Dataset:
 
 EXTRA_QUERIES: dict[str, Callable] = {
     "neardup_documents_minhash": neardup_documents_minhash,
+    "neardup_documents_pairs": neardup_documents_pairs,
     "simhash_documents": simhash_documents,
     "minhash_documents": minhash_documents,
     "langid_documents": langid_documents,
