@@ -50,7 +50,9 @@ def test_checkpoint_run_and_resume(ray_session, input_parquet, tmp_path, monkeyp
     m1 = out1["metrics"]
     assert m1["partitions_total"] == 6
     assert m1["partitions_computed"] == 6 and m1["partitions_reused"] == 0
-    clusters1 = pq.read_table(out1["clusters_path"])
+    # clusters output is a streamed parquet DIRECTORY (no driver funnel)
+    assert os.path.isdir(out1["clusters_path"])
+    clusters1 = pq.read_table(out1["clusters_path"]).sort_by("image_id")
     assert clusters1.num_rows == 600
 
     # no-op rerun: everything reused, nothing rewritten
@@ -60,6 +62,7 @@ def test_checkpoint_run_and_resume(ray_session, input_parquet, tmp_path, monkeyp
     out2 = C.run_checkpointed(input_parquet, work, CFG)
     m2 = out2["metrics"]
     assert m2["partitions_reused"] == 6 and m2["partitions_computed"] == 0
+    assert m2["edges_reused"] is True
     assert m2["clusters_reused"] is True
     for f, t in mtimes.items():
         assert os.path.getmtime(os.path.join(sig_dir, f)) == t
@@ -76,8 +79,26 @@ def test_checkpoint_run_and_resume(ray_session, input_parquet, tmp_path, monkeyp
     for pid in (0, 1, 2, 3):
         f = f"part-{pid:05d}.parquet"
         assert os.path.getmtime(os.path.join(sig_dir, f)) == mtimes[f]
-    clusters3 = pq.read_table(out3["clusters_path"])
-    assert clusters3.equals(clusters1)  # byte-identical final output
+    # identical signature store digest -> edges and clusters stages reused
+    assert m3["edges_reused"] is True and m3["clusters_reused"] is True
+    clusters3 = pq.read_table(out3["clusters_path"]).sort_by("image_id")
+    assert clusters3.equals(clusters1)  # identical final output
+
+    # phase-granular resume: losing only the clusters stage must NOT
+    # recompute the (expensive) verified-edges stage
+    shutil.rmtree(out3["clusters_path"])
+    shutil.rmtree(os.path.join(work, "manifest", "clusters"))
+    edges_mtime = os.path.getmtime(
+        os.path.join(work, "manifest", "edges", "part-00000.parquet")
+    )
+    out4 = C.run_checkpointed(input_parquet, work, CFG)
+    m4 = out4["metrics"]
+    assert m4["edges_reused"] is True and m4["clusters_reused"] is False
+    assert os.path.getmtime(
+        os.path.join(work, "manifest", "edges", "part-00000.parquet")
+    ) == edges_mtime
+    clusters4 = pq.read_table(out4["clusters_path"]).sort_by("image_id")
+    assert clusters4.equals(clusters1)
 
 
 def test_checkpoint_input_change_invalidates(ray_session, input_parquet, tmp_path,
@@ -98,4 +119,5 @@ def test_checkpoint_input_change_invalidates(ray_session, input_parquet, tmp_pat
     out = C.run_checkpointed(src, work, CFG)
     assert out["metrics"]["partitions_reused"] == 0
     assert out["metrics"]["partitions_computed"] == 6
+    assert out["metrics"]["edges_reused"] is False
     assert out["metrics"]["clusters_reused"] is False

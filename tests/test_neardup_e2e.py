@@ -67,6 +67,54 @@ def test_metrics_and_kinds(fixture_800):
     assert set(m["edges_by_kind"]) & {"exact", "exact_caption", "phash"}
 
 
+def test_null_captions_and_null_bytes(ray_session):
+    """input_hint's caption:string is nullable — null captions must flow
+    through decode/signatures/verify without crashing, and null-payload
+    rows must NOT be clustered together as 'exact' dups of each other
+    (ADVICE round 1: shared sha sentinel / null-equality false positives).
+
+    Fully controlled 8-row table: pairwise-unrelated images and captions,
+    with two null captions, one empty caption, and two null payloads —
+    nothing may link, so the pipeline must emit 8 singleton components."""
+    from well_duplicates_ray.fixtures import _images_batch, _phash_stack
+
+    rng = np.random.default_rng(11)
+    imgs = _images_batch(rng, 8, 32)
+    ph = _phash_stack(imgs).view(np.int64)
+    captions = [
+        "cobalt anchors drifting beneath quiet harbors tonight",
+        "seven marmalade foxes juggle porcelain teacups",
+        None,
+        "granite staircases spiral toward amber observatories",
+        "velvet thunderclouds rehearse above frozen orchards",
+        None,
+        "paper lanterns argue with indifferent lighthouse keepers",
+        "",
+    ]
+    byts = [imgs[i].tobytes() for i in range(8)]
+    byts[3] = None
+    byts[4] = None
+    images = pa.table(
+        {
+            "image_id": pa.array([f"img{i:08d}" for i in range(8)]),
+            "bytes": pa.array(byts, pa.binary()),
+            "w": pa.array([32] * 8, pa.int32()),
+            "h": pa.array([32] * 8, pa.int32()),
+            "fmt": pa.array(["raw"] * 8),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(ph),
+        }
+    )
+    out = run_neardup(ray.data.from_arrow(images), CFG, num_partitions=2)
+    rows = out["clusters"].take_all()
+    assert len(rows) == 8
+    comps = {r["component"] for r in rows}
+    assert len(comps) == 8, (
+        f"unrelated rows were linked: {sorted(rows, key=lambda r: r['component'])}"
+    )
+    assert out["metrics"]["n_quarantined"] == 2
+
+
 def test_quarantine_unknown_fmt(ray_session):
     images, _ = make_images(60, seed=7)
     fmts = ["png" if i == 3 else "raw" for i in range(60)]

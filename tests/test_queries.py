@@ -8,7 +8,13 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from well_duplicates_ray.pipelines.queries import SQL_ORACLES, SQL_QUERIES
+from well_duplicates_ray.pipelines.queries import (
+    EXTRA_QUERIES,
+    SQL_ORACLES,
+    SQL_QUERIES,
+)
+
+ALL_QUERIES = {**SQL_QUERIES, **EXTRA_QUERIES}
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
@@ -57,9 +63,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(SQL_QUERIES))
+@pytest.mark.parametrize("name", sorted(SQL_ORACLES))
 def test_query_matches_oracle(name, ray_session, duck):
-    got = _normalize(_to_pandas(SQL_QUERIES[name](SF_DIR)))
+    got = _normalize(_to_pandas(ALL_QUERIES[name](SF_DIR)))
     want = _normalize(duck.sql(SQL_ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"

@@ -62,3 +62,20 @@ def test_rolling_fingerprint_no_prefix_collision():
     # polynomial with per-position powers must distinguish order
     f = rolling_fingerprint(pd.Series(["ab", "ba", "aab"]))
     assert len(set(f.tolist())) == 3
+
+
+def test_rolling_fingerprint_batch_independent():
+    """Same text => same fingerprint regardless of batch composition
+    (ADVICE round 1: the seed fold must not depend on the batch's max
+    length). Also: '\\x00'+s must not collide with s (length mixing)."""
+    texts = ["a", "", "xy", "a much longer text with many characters"]
+    whole = rolling_fingerprint(pd.Series(texts)).tolist()
+    for i, t in enumerate(texts):
+        solo = rolling_fingerprint(pd.Series([t]))[0]
+        assert solo == whole[i], f"batching changed fp of {t!r}"
+    # all-short batch vs mixed batch
+    short = rolling_fingerprint(pd.Series(["a", ""])).tolist()
+    assert short == whole[:2]
+    # length mixing: NUL-prefixed string differs from the bare string
+    f = rolling_fingerprint(pd.Series(["abc", "\x00abc"]))
+    assert f[0] != f[1]

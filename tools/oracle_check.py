@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Strict local mirror of the driver's CORRECTNESS check: run every
+oracle-keyed query through Ray AND DuckDB on the same sf dir and compare
+row count, schema (column names), and BIT-EXACT values after sorting
+columns by name and rows by value (the driver hashes values, so a float
+that differs in the last ulp is a failure — tests/test_queries.py's
+rounded comparison would not catch it).
+
+    python tools/oracle_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    df = result.to_pandas()
+    if df.shape[1] == 0:  # empty ray Dataset loses its schema in to_pandas
+        schema = result.schema()
+        df = pd.DataFrame(
+            {
+                n: pd.Series(dtype=t.to_pandas_dtype())
+                for n, t in zip(schema.names, schema.types)
+            }
+        )
+    return df
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object or str(df[c].dtype) == "string":
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from well_duplicates_ray.pipelines.queries import (
+        EXTRA_QUERIES,
+        SQL_ORACLES,
+        SQL_QUERIES,
+    )
+
+    registry = {**SQL_QUERIES, **EXTRA_QUERIES}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name in sorted(SQL_ORACLES):
+        try:
+            got = normalize(to_pandas(registry[name](sf_dir)))
+            want = normalize(con.sql(SQL_ORACLES[name]).df())
+            problems = []
+            if list(got.columns) != list(want.columns):
+                problems.append(f"cols {list(got.columns)} != {list(want.columns)}")
+            elif len(got) != len(want):
+                problems.append(f"rows {len(got)} != {len(want)}")
+            else:
+                for c in got.columns:
+                    g, w = got[c].to_numpy(), want[c].to_numpy()
+                    if str(got[c].dtype) != str(want[c].dtype):
+                        problems.append(
+                            f"{c}: dtype {got[c].dtype} != {want[c].dtype}"
+                        )
+                    if not (
+                        np.array_equal(g, w)
+                        or (g.dtype.kind == "f" and np.array_equal(
+                            g, w, equal_nan=True))
+                    ):
+                        bad = np.flatnonzero(~(g == w))[:3]
+                        problems.append(
+                            f"{c}: {len(np.flatnonzero(~(g == w)))} diffs, "
+                            f"e.g. idx {bad.tolist()} "
+                            f"{[(g[i], w[i]) for i in bad.tolist()]}"
+                        )
+            if problems:
+                failures += 1
+                print(f"FAIL {name}: {'; '.join(problems)}")
+            else:
+                print(f"ok   {name}: {len(got)} rows bit-exact")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,10 +55,12 @@ class DedupConfig:
                                     # (covers no-shingle degenerate captions)
 
     # --- skew / bucket handling ------------------------------------------
-    bucket_pair_cap: int = 128    # groups larger than this emit star pairs
-                                  # (min-id hub) instead of all-pairs; the
-                                  # transitive closure is preserved, drops
-                                  # are logged — no silent truncation
+    bucket_pair_cap: int = 128    # buckets larger than this are salted into
+                                  # ~sqrt(cap)-sized sub-buckets: exact-key
+                                  # buckets star-link (lossless — members
+                                  # mutually dup); sketch buckets test all
+                                  # intra-sub-bucket pairs + hub links
+                                  # (see stages/candidates.py docstring)
 
     # --- execution -------------------------------------------------------
     seed: int = 42

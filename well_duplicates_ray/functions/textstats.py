@@ -44,24 +44,34 @@ def token_counts(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.findall(_TOKEN_RE).str.len().astype("int64")
 
 
+def _stopword_re(lang: str) -> re.Pattern:
+    """``\\b(?:w1|w2|...)\\b`` occurrence-count regex for one profile.
+
+    Counting matches of this pattern over the lowered text equals counting
+    ``\\w+`` tokens that are members of the stopword set: maximal word-char
+    runs are exactly the substrings bounded by ``\\b`` on both sides."""
+    words = sorted(_LANG_STOPWORDS[lang], key=len, reverse=True)
+    return re.compile(r"\b(?:" + "|".join(map(re.escape, words)) + r")\b",
+                      re.UNICODE)
+
+
+_STOPWORD_RES = {lang: _stopword_re(lang) for lang in _LANG_STOPWORDS}
+
+
 def predict_language(texts: pd.Series) -> pd.Series:
     """Stopword-overlap language ID; 'und' (undetermined) when no profile
-    scores above zero."""
+    scores above zero. Vectorized: one str.count pass per profile, then an
+    argmax with first-profile-wins tie-breaking."""
     langs = list(_LANG_STOPWORDS)
-    toks = texts.fillna("").str.lower().str.findall(_WORD_RE)
-
-    def score_row(words: list[str]) -> str:
-        if not words:
-            return "und"
-        best, best_s = "und", 0
-        for lang in langs:
-            sw = _LANG_STOPWORDS[lang]
-            s = sum(1 for w in words if w in sw)
-            if s > best_s:
-                best, best_s = lang, s
-        return best
-
-    return toks.map(score_row).astype("string")
+    low = texts.fillna("").str.lower()
+    scores = np.stack(
+        [low.str.count(_STOPWORD_RES[lang]).to_numpy() for lang in langs],
+        axis=1,
+    )
+    best = np.argmax(scores, axis=1)  # first max wins, matching dict order
+    pred = np.array(langs, dtype=object)[best]
+    pred[scores.max(axis=1) == 0] = "und"
+    return pd.Series(pred, index=texts.index, dtype="string")
 
 
 def quality_metrics(texts: pd.Series) -> pd.DataFrame:
@@ -70,15 +80,20 @@ def quality_metrics(texts: pd.Series) -> pd.DataFrame:
     [0,1] composite quality score (C4/Gopher-style heuristics)."""
     t = texts.fillna("")
     n_chars = t.str.len().astype("int64")
-    words = t.str.lower().str.findall(_WORD_RE)
-    n_words = words.str.len().astype("int64")
-    mean_word_len = (
-        words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-    ).astype("float64")
-    sw = _LANG_STOPWORDS["en"]
-    stop_ratio = words.map(
-        lambda ws: sum(1 for w in ws if w in sw) / len(ws) if ws else 0.0
-    ).astype("float64")
+    low = t.str.lower()
+    n_words = low.str.count(_WORD_RE).astype("int64")
+    # words partition the word chars, so sum(len(word)) == count of \w chars
+    n_word_chars = low.str.count(r"\w").astype("int64")
+    nw = n_words.to_numpy().astype(np.float64)
+    safe_nw = np.maximum(nw, 1.0)
+    mean_word_len = pd.Series(
+        np.where(nw > 0, n_word_chars.to_numpy() / safe_nw, 0.0),
+        index=t.index, dtype="float64",
+    )
+    n_stop = low.str.count(_STOPWORD_RES["en"]).to_numpy()
+    stop_ratio = pd.Series(
+        np.where(nw > 0, n_stop / safe_nw, 0.0), index=t.index, dtype="float64"
+    )
     n_punct = t.str.count(_PUNCT_RE).astype("int64")
     punct_ratio = (n_punct / n_chars.clip(lower=1)).astype("float64")
     upper_ratio = (
@@ -114,23 +129,24 @@ def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     base = offsets[0]
     lens = np.diff(offsets)
     n = len(lens)
-    out = np.full(n, 14695981039346656037, dtype=np.uint64)
-    if flat.size == 0 or lens.max(initial=0) == 0:
-        return pd.Series(out.view(np.int64), index=texts.index)
-    # h_row = sum_j byte[j] * B^(len-1-j)  (uint64 wraparound) — computed
-    # fully vectorized: per-position power exponent, then segment-sum.
+    seed = np.uint64(14695981039346656037)
     b = np.uint64(1099511628211)
-    maxlen = int(lens.max())
-    pows = np.empty(maxlen, dtype=np.uint64)
-    pows[0] = 1
-    for k in range(1, maxlen):
-        pows[k] = pows[k - 1] * b
-    data = flat[offsets[0] - base : offsets[-1] - base].astype(np.uint64)
-    ends = np.repeat(offsets[1:] - base, lens)
-    pos = np.arange(data.size, dtype=np.int64)
-    contrib = data * pows[ends - 1 - pos]
-    starts = (offsets[:-1] - base).astype(np.int64)
-    nz = lens > 0
-    sums = np.add.reduceat(contrib, starts[nz])
-    out[nz] = out[nz] * pows[min(maxlen - 1, 1)] + sums  # fold seed once
+    # h_row = (seed * B + sum_j byte[j] * B^(len-1-j)) * B + len  — the
+    # constants are batch-independent (same text => same fingerprint under
+    # any batching) and the length term separates '\x00'+s from s.
+    sums = np.zeros(n, dtype=np.uint64)
+    if flat.size > 0 and lens.max(initial=0) > 0:
+        maxlen = int(lens.max())
+        pows = np.empty(maxlen, dtype=np.uint64)
+        pows[0] = 1
+        for k in range(1, maxlen):
+            pows[k] = pows[k - 1] * b
+        data = flat[offsets[0] - base : offsets[-1] - base].astype(np.uint64)
+        ends = np.repeat(offsets[1:] - base, lens)
+        pos = np.arange(data.size, dtype=np.int64)
+        contrib = data * pows[ends - 1 - pos]
+        starts = (offsets[:-1] - base).astype(np.int64)
+        nz = lens > 0
+        sums[nz] = np.add.reduceat(contrib, starts[nz])
+    out = (seed * b + sums) * b + lens.astype(np.uint64)
     return pd.Series(out.view(np.int64), index=texts.index)

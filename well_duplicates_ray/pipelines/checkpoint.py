@@ -10,10 +10,16 @@ Two phases, manifest-gated:
    ``bcl_direct_reader.py`` get_tile, SURVEY.md §2 R6), each writing its
    feature parquet atomically and a lineage record. On resume, completed
    partitions are skipped at the *read* (anti-filter on partition id).
-2. ``clusters`` — candidates -> verify -> components over the signature
-   store (cheap relative to decode, SURVEY.md §3 E1 note), written
-   atomically with its own manifest record keyed by the digest of the
-   signature outputs.
+2. ``edges`` — candidates -> verify over the signature store (the
+   expensive half of clustering), streamed to a partitioned parquet
+   directory via tmp-dir + atomic rename, keyed by the digest of the
+   signature outputs. A later failure never recomputes verification.
+3. ``clusters`` — iterative min-label components over the edge store,
+   streamed/renamed the same way, keyed by the edge-store digest.
+
+No phase funnels its data through the driver: stage outputs are
+``Dataset.write_parquet`` directories (one part file per block), renamed
+into place atomically (state/manifest.py ``atomic_write_dataset``).
 
 The signature store doubles as the materialization point the streaming
 pipeline does in memory — at 10^12 scale this on-disk form is the only
@@ -121,7 +127,8 @@ def run_checkpointed(
     """
     manifest_dir = os.path.join(work_dir, "manifest")
     sig_dir = os.path.join(work_dir, "signatures")
-    clusters_path = os.path.join(work_dir, "clusters", "clusters.parquet")
+    edges_path = os.path.join(work_dir, "edges")
+    clusters_path = os.path.join(work_dir, "clusters")
 
     parts = plan_partitions(input_path)
     digests = {p["partition_id"]: p["digest"] for p in parts}
@@ -141,7 +148,7 @@ def run_checkpointed(
             .materialize()
         )
 
-    # --- phase 2: clusters over the signature store ----------------------
+    # --- phase 2: verified edges over the signature store ----------------
     sig_rows = mf.read_stage(manifest_dir, "signatures")
     sig_files = [sig_rows[p["partition_id"]]["output_path"] for p in parts]
     store_digest = hashlib.md5(
@@ -150,29 +157,54 @@ def run_checkpointed(
             for p in parts
         ).encode()
     ).hexdigest()
+    feat_rows_total = sum(r["rows_out"] for r in sig_rows.values())
 
-    cluster_done = mf.completed_partitions(
-        manifest_dir, "clusters", {0: store_digest}
+    from well_duplicates_ray.pipelines.neardup import (
+        auto_partitions,
+        clusters_from_edges,
+        verified_edges,
     )
-    reused_clusters = bool(cluster_done)
-    if not cluster_done:
-        from well_duplicates_ray.pipelines.neardup import (
-            _cluster_from_features,
+
+    n_parts = num_partitions or auto_partitions(feat_rows_total)
+
+    reused_edges = bool(
+        mf.completed_partitions(manifest_dir, "edges", {0: store_digest})
+    )
+    if not reused_edges:
+        feats = ray.data.read_parquet(sig_files)
+        edges, _ = verified_edges(feats, cfg, n_parts,
+                                  n_rows=feat_rows_total)
+        mf.atomic_write_dataset(edges, edges_path)
+        mf.write_record(
+            manifest_dir, "edges", 0, store_digest,
+            rows_in=feat_rows_total,
+            rows_out=edges.count(),
+            output_path=edges_path,
         )
 
-        feats = ray.data.read_parquet(sig_files)
-        clusters, _ = _cluster_from_features(feats, cfg, num_partitions)
-        tbl = pa.concat_tables(
-            [ray.get(r) for r in clusters.to_arrow_refs()]
-        ).sort_by("image_id")
-        mf.atomic_write_table(tbl, clusters_path)
+    # --- phase 3: components over the edge store -------------------------
+    edge_rec = mf.read_stage(manifest_dir, "edges")[0]
+    edges_digest = hashlib.md5(
+        f"{store_digest}|{edge_rec['rows_out']}".encode()
+    ).hexdigest()
+    reused_clusters = bool(
+        mf.completed_partitions(manifest_dir, "clusters", {0: edges_digest})
+    )
+    if not reused_clusters:
+        nodes = ray.data.read_parquet(sig_files, columns=["node"])
+        if edge_rec["rows_out"] > 0:
+            edges = ray.data.read_parquet(edges_path, columns=["a", "b"])
+        else:  # write_parquet of an empty dataset leaves nothing to read
+            edges = ray.data.from_arrow(
+                pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+            )
+        clusters = clusters_from_edges(edges, nodes, n_parts, cfg)
+        mf.atomic_write_dataset(clusters.sort("image_id"), clusters_path)
         mf.write_record(
-            manifest_dir,
-            "clusters",
-            0,
-            store_digest,
-            rows_in=sum(r["rows_out"] for r in sig_rows.values()),
-            rows_out=tbl.num_rows,
+            manifest_dir, "clusters", 0, edges_digest,
+            rows_in=edge_rec["rows_out"],
+            rows_out=feat_rows_total,
             output_path=clusters_path,
         )
 
@@ -182,6 +214,7 @@ def run_checkpointed(
             "partitions_total": len(parts),
             "partitions_reused": len(done),
             "partitions_computed": len(pending),
+            "edges_reused": reused_edges,
             "clusters_reused": reused_clusters,
         },
     }

@@ -127,17 +127,16 @@ def run_neardup(
     return {"clusters": clusters, "edges": edges, "metrics": metrics}
 
 
-def _cluster_from_features(
+def verified_edges(
     feats: ray.data.Dataset,
     cfg: DedupConfig,
     num_partitions: int | None = None,
-    id_template: str = "img{:08d}",
     n_rows: int | None = None,
 ) -> tuple[ray.data.Dataset, dict]:
-    """Candidates -> verify -> components over a (materialized or on-disk)
-    feature table. Shared by the streaming pipeline and the checkpointed
-    runner (pipelines/checkpoint.py reads features back from the
-    signature store instead of memory)."""
+    """Candidates -> verify over a (materialized or on-disk) feature table:
+    the expensive half of the clustering phase, exposed separately so the
+    checkpoint runner can give it its own manifest stage (a failure during
+    clustering must not recompute verification)."""
     if n_rows is None:
         n_rows = feats.count()
     if num_partitions is None:
@@ -160,15 +159,22 @@ def _cluster_from_features(
     edges = verified.map_batches(
         lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
     ).materialize()
+    return edges, {"n_hot_buckets": len(hot), "num_partitions": num_partitions}
 
-    # edges already carry int64 node ids end-to-end
-    edges_int = edges.select_columns(["a", "b"])
-    nodes = feats.select_columns(["node"])
+
+def clusters_from_edges(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    num_partitions: int,
+    cfg: DedupConfig,
+    id_template: str = "img{:08d}",
+) -> ray.data.Dataset:
+    """Iterative min-label components over verified edges -> cluster table."""
     comp = connected_components(
-        edges_int, nodes, num_partitions,
+        edges.select_columns(["a", "b"]), nodes, num_partitions,
         driver_threshold=cfg.broadcast_threshold,
     )
-    clusters = comp.map_batches(
+    return comp.map_batches(
         lambda t: pa.table(
             {
                 "image_id": pa.array(
@@ -181,4 +187,22 @@ def _cluster_from_features(
         ),
         batch_format="pyarrow",
     )
-    return clusters, {"edges": edges, "n_hot_buckets": len(hot)}
+
+
+def _cluster_from_features(
+    feats: ray.data.Dataset,
+    cfg: DedupConfig,
+    num_partitions: int | None = None,
+    id_template: str = "img{:08d}",
+    n_rows: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Candidates -> verify -> components over a (materialized or on-disk)
+    feature table. Shared by the streaming pipeline and the checkpointed
+    runner (pipelines/checkpoint.py reads features back from the
+    signature store instead of memory)."""
+    edges, aux = verified_edges(feats, cfg, num_partitions, n_rows)
+    clusters = clusters_from_edges(
+        edges, feats.select_columns(["node"]), aux["num_partitions"], cfg,
+        id_template,
+    )
+    return clusters, {"edges": edges, "n_hot_buckets": aux["n_hot_buckets"]}

@@ -127,19 +127,18 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     """Broadcast hash join (G14 small-side path): customer is the dimension
-    table — ray.put once, dict-lookup inside map_batches; no shuffle."""
+    table — ray.put once (zero-copy plasma), Arrow index_in/take lookup
+    inside map_batches; no shuffle, no per-row python."""
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    mapping = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
-    ref = ray.put(mapping)
+    ).combine_chunks()
+    ref = ray.put(cust)
 
     def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        seg = [m.get(k) for k in t["o_custkey"].to_pylist()]
-        out = pa.table({"c_mktsegment": pa.array(seg, pa.string())})
+        c = ray.get(ref)  # zero-copy, shared by all tasks on the node
+        pos = pc.index_in(t["o_custkey"], value_set=c["c_custkey"].combine_chunks())
+        seg = c["c_mktsegment"].take(pos)  # null pos -> null segment
+        out = pa.table({"c_mktsegment": seg})
         return out.filter(pc.is_valid(out["c_mktsegment"]))
 
     return (
@@ -267,10 +266,16 @@ def sessionize_events(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+DOCS_UNIQUE_BROADCAST_GATE = 2_000_000  # singleton keys; above this, shuffle
+
+
 def docs_unique_text(sf_dir: str) -> ray.data.Dataset:
     """Semi-join shape (ray_guide 'Joins and lookups'): doc_ids whose text
-    occurs exactly once — the singleton-count key set is broadcast and the
-    filter runs inside map_batches (no shuffle join)."""
+    occurs exactly once. Size-gated: when the singleton key set is small
+    it is broadcast once (``ray.put`` of an Arrow array, zero-copy) and
+    the probe is a vectorized ``pc.is_in`` inside map_batches; on a real
+    corpus the singleton set ~= the whole table, so above the gate the
+    probe becomes a hash-partitioned semi-join (inner join on text)."""
     singles = (
         _read(sf_dir, "documents", ["text"])
         .groupby("text")
@@ -280,24 +285,101 @@ def docs_unique_text(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
         .select_columns(["text"])
-    )
+    ).materialize()
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    if singles.count() > DOCS_UNIQUE_BROADCAST_GATE:
+        return docs.join(
+            singles, "left_semi", 16, on=("text",)
+        ).select_columns(["doc_id"])
+
     import ray as _ray
 
-    keys = set(
-        pa.concat_tables([_ray.get(r) for r in singles.to_arrow_refs()])[
-            "text"
-        ].to_pylist()
-    )
+    keys = pa.concat_tables(
+        [_ray.get(r) for r in singles.to_arrow_refs()]
+    )["text"].combine_chunks()
     ref = ray.put(keys)
 
     def keep(t: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        mask = pa.array([x in ks for x in t["text"].to_pylist()])
+        ks = ray.get(ref)  # zero-copy from plasma
+        mask = pc.fill_null(pc.is_in(t["text"], value_set=ks), False)
         return t.filter(mask).select(["doc_id"])
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        keep, batch_format="pyarrow"
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def exact_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact-duplicate PAIRS by content key (a < b, same p_name over part)
+    — the SQL-checkable face of the near-dup pair family (G11/G19 pair
+    emit). Shuffles a 16-byte md5 fingerprint of the key instead of the
+    key itself (the content-addressed exact-dedup shape); pairs are
+    emitted per fingerprint group, bounded by the duplicate multiplicity
+    (the testdata part table has a genuinely hot name — a ~250-member
+    group — so the pair emit's group-size handling is exercised too)."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in t["p_name"].to_pylist()
+        ]
+        return pa.table({"id": t["p_partkey"], "fp": pa.array(h, pa.string())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["id"].to_numpy())
+        if ids.size < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+BIG_ORDER_CUTOFF = 300_000
+
+
+def customers_without_big_orders(sf_dir: str) -> ray.data.Dataset:
+    """Set-difference / anti-join shape (SURVEY.md §2.B set ops): customers
+    with no order above the cutoff, via a hash-partitioned left_anti join
+    (the filter runs at the read, so only qualifying order keys shuffle)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["o_totalprice"], BIG_ORDER_CUTOFF)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    return cust.join(big, "left_anti", 8, on=("c_custkey",))
+
+
+def nations_customers_and_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """Set-intersection shape: nation keys present in BOTH customer and
+    supplier — two distincts then a semi-join (each side pre-aggregated
+    before the shuffle, so only unique keys move)."""
+    c = (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["c_nationkey"])
+        .rename_columns({"c_nationkey": "nationkey"})
+    )
+    s = (
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .groupby("s_nationkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["s_nationkey"])
+        .rename_columns({"s_nationkey": "nationkey"})
+    )
+    return c.join(s, "left_semi", 4, on=("nationkey",))
 
 
 # ---------------------------------------------------------------------------
@@ -445,15 +527,16 @@ SQL_ORACLES: dict[str, str] = {
     """,
     "running_value_per_user": """
         SELECT event_id,
-               SUM(CAST(FLOOR(value * 100) AS BIGINT))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS running_cents
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS running_cents
         FROM events
     """,
     "sessionize_events": f"""
         SELECT event_id,
-               SUM(new_sess) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS session_idx
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                    AS BIGINT) AS session_idx
         FROM (
             SELECT event_id, user_id, ts,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
@@ -488,6 +571,102 @@ SQL_ORACLES: dict[str, str] = {
               >= {COSINE_DUP_THRESHOLD}
     """,
 }
+
+# --- oracles generated from the engine's own stopword profiles -------------
+# (RE2 and Python agree on these patterns over the ASCII corpus: maximal
+# \w+ runs are exactly the \b-bounded substrings, so occurrence counts of
+# the bounded alternation equal token-set-membership counts.)
+
+def _sw_sql_regex(lang: str) -> str:
+    from well_duplicates_ray.functions.textstats import _LANG_STOPWORDS
+
+    words = sorted(_LANG_STOPWORDS[lang], key=len, reverse=True)
+    return r"\b(?:" + "|".join(words) + r")\b"
+
+
+SQL_ORACLES["token_count_bpeish"] = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\w+(?:''\w+)?|[^\w\s]'))
+               AS n_bpe_tokens
+    FROM documents
+"""
+
+SQL_ORACLES["quality_score_documents"] = rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(lower(text), '\w+')) AS n_words,
+             len(regexp_extract_all(lower(text), '\w')) AS n_word_chars,
+             len(regexp_extract_all(lower(text), '{_sw_sql_regex("en")}'))
+                 AS n_stop,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_chars, n_words,
+             CASE WHEN n_words > 0
+                  THEN CAST(n_word_chars AS DOUBLE) / n_words
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_words > 0
+                  THEN CAST(n_stop AS DOUBLE) / n_words
+                  ELSE 0.0 END AS stop_ratio,
+             CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+             CAST(n_upper AS DOUBLE) / GREATEST(n_chars, 1) AS upper_ratio
+      FROM f
+    )
+    SELECT doc_id, n_chars, n_words, mean_word_len, stop_ratio,
+           punct_ratio, upper_ratio,
+           -- ::DOUBLE everywhere: bare 0.4 is DECIMAL in DuckDB and sums
+           -- exactly, while the engine sums float64 (0.4+0.3+0.2+0.1 =
+           -- 0.9999999999999999) — the hash compare needs identical IEEE
+           -- accumulation, not mathematically-equal values
+           CASE WHEN n_words >= 5 AND n_words <= 100000
+                THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN punct_ratio <= 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN stop_ratio >= 0.01 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+               AS quality
+    FROM g
+"""
+
+SQL_ORACLES["langid_documents"] = f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{_sw_sql_regex("en")}')) AS c_en,
+             len(regexp_extract_all(lower(text), '{_sw_sql_regex("es")}')) AS c_es,
+             len(regexp_extract_all(lower(text), '{_sw_sql_regex("de")}')) AS c_de,
+             len(regexp_extract_all(lower(text), '{_sw_sql_regex("fr")}')) AS c_fr,
+             len(regexp_extract_all(lower(text), '{_sw_sql_regex("zh")}')) AS c_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(c_en, c_es, c_de, c_fr, c_zh) = 0 THEN 'und'
+                WHEN c_en = GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'en'
+                WHEN c_es = GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'es'
+                WHEN c_de = GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'de'
+                WHEN c_fr = GREATEST(c_en, c_es, c_de, c_fr, c_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+"""
+
+SQL_ORACLES["exact_dup_pairs"] = """
+    SELECT x.p_partkey AS a, y.p_partkey AS b
+    FROM part x JOIN part y
+      ON x.p_name = y.p_name AND x.p_partkey < y.p_partkey
+"""
+
+SQL_ORACLES["customers_without_big_orders"] = f"""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > {BIG_ORDER_CUTOFF})
+"""
+
+SQL_ORACLES["nations_customers_and_suppliers"] = """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+"""
 
 # ---------------------------------------------------------------------------
 # Rows-only ops (no SQL equivalent): near-dup clustering, sketches, model
@@ -617,33 +796,66 @@ def token_count_bpeish(sf_dir: str) -> ray.data.Dataset:
 
 # --- embedding LSH (the scale path next to the brute-force baseline) -------
 
-LSH_COSINE_THRESHOLD = 0.95
+# The verify threshold matches the brute-force baseline so the driver
+# exercises a NON-EMPTY pipeline on the synthetic embeddings (max pairwise
+# cosine ~0.6 — a 0.95 threshold returns zero rows and tests nothing).
+# The band geometry stays tuned for the high-similarity design point
+# (P(bit equal) = 1 - theta/pi; at cos>=0.95 a 6-bit band matches with
+# p~0.53, 10 bands -> pair recall ~0.999; the planted-pair test in
+# tests/test_extra_queries.py measures exactly that). At looser
+# thresholds LSH is a candidate *generator*, not a recall guarantee —
+# candidate-set recall at cos~0.45 is ~0.5 by the same formula, which is
+# the inherent LSH tradeoff, not an implementation artifact.
+LSH_COSINE_THRESHOLD = COSINE_DUP_THRESHOLD
 _HYPERPLANES = 60          # 10 bands x 6 bits
 _LSH_BANDS = 10
 _LSH_ROWS_BITS = 6
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0])
+
+
+def _list_to_matrix(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
+    """(n, dim) float64 from a list<float> column — flat-buffer reshape,
+    no per-row python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), dim if dim is not None else -1)
+
+
+def _fixed_bin_to_matrix(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
+    """(n, dim) float32 view of a fixed_size_binary(dim*4) column —
+    zero-copy off the Arrow data buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = np.frombuffer(col.buffers()[1], dtype=np.float32)
+    start = col.offset * dim
+    return buf[start : start + len(col) * dim].reshape(len(col), dim)
+
+
 def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
     """Random-hyperplane LSH near-dup pairs over embeddings: sign-bit
-    codes -> banded buckets -> candidate pairs -> exact-cosine verify.
+    codes -> banded buckets -> candidate pairs -> dedupe -> attach both
+    vectors by hash join -> exact-cosine verify.
 
-    This is the 10^12-scale path (bucketed, no full matmul); the
-    brute-force `embedding_neardup_cosine` is its correctness baseline.
-    Band geometry: P(bit equal) = 1 - theta/pi; at cos>=0.95 a 6-bit band
-    matches with p~0.53, 10 bands -> pair recall ~0.999."""
-    ids, m = _embedding_matrix(sf_dir)
-    dim = m.shape[1]
+    This is the 10^12-scale path: only the hyperplane matrix (dim x 60
+    floats) is broadcast; vectors reach the verifier through the same
+    pair-feature join shape as the flagship (stages/verify.py G14), so
+    nothing whole-dataset ever sits in one object."""
+    dim = _embedding_dim(sf_dir)
     rng = np.random.default_rng(CFG.seed)
-    planes = rng.standard_normal((dim, _HYPERPLANES))
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ref = ray.put((ids, mn, planes))
+    planes_ref = ray.put(rng.standard_normal((dim, _HYPERPLANES)))
 
     from well_duplicates_ray.functions.phash import mix64
 
     def emit(t: pa.Table) -> pa.Table:
-        _, _, planes = ray.get(ref)
+        planes = ray.get(planes_ref)
         bids = t["vec_id"].to_numpy()
-        bm = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        bm = _list_to_matrix(t["embedding"], dim)
         bits = (bm @ planes) > 0  # (n, 60)
         shifts = np.arange(_LSH_ROWS_BITS, dtype=np.uint64)
         out_b, out_i = [], []
@@ -668,28 +880,58 @@ def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
         emissions, "inner", 8, on=("bucket",), right_suffix="_r"
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        all_ids, mn, _ = ray.get(ref)
-        pos = {int(v): i for i, v in enumerate(all_ids)}
+    def order_pairs(t: pa.Table) -> pa.Table:
         a = t["vec_id"].to_numpy()
         b = t["vec_id_r"].to_numpy()
         keep = a < b
-        a, b = a[keep], b[keep]
-        if len(a) == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        ia = np.array([pos[int(x)] for x in a])
-        ib = np.array([pos[int(x)] for x in b])
-        sims = np.einsum("ij,ij->i", mn[ia], mn[ib])
-        ok = sims >= LSH_COSINE_THRESHOLD
-        return pa.table({"a": pa.array(a[ok]), "b": pa.array(b[ok])})
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    pairs = joined.map_batches(verify, batch_format="pyarrow")
-    return (
-        pairs.groupby(["a", "b"])
+    # dedupe BEFORE verification: the same true pair collides in several
+    # bands, and the vector-attach join must ship each pair's vectors once
+    pairs = (
+        joined.map_batches(order_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
     )
+
+    # attach each pair's two vectors by hash join (acero joins reject
+    # list-typed payloads, so the unit-normalized vector rides along as a
+    # fixed_size_binary(dim*4) blob — unpacked zero-copy in the verifier)
+    def pack_side(side: str):
+        def pack(t: pa.Table) -> pa.Table:
+            m = _list_to_matrix(t["embedding"], dim)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            f32 = np.ascontiguousarray(m, dtype=np.float32)
+            blob = pa.Array.from_buffers(
+                pa.binary(dim * 4), len(t), [None, pa.py_buffer(f32.tobytes())]
+            )
+            return pa.table({side: t["vec_id"], f"emb_{side}": blob})
+
+        return pack
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    enriched = pairs.join(
+        emb.map_batches(pack_side("a"), batch_format="pyarrow"),
+        "inner", 8, on=("a",),
+    ).join(
+        emb.map_batches(pack_side("b"), batch_format="pyarrow"),
+        "inner", 8, on=("b",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        va = _fixed_bin_to_matrix(t["emb_a"], dim)
+        vb = _fixed_bin_to_matrix(t["emb_b"], dim)
+        sims = np.einsum("ij,ij->i", va.astype(np.float64),
+                         vb.astype(np.float64))
+        ok = sims >= LSH_COSINE_THRESHOLD
+        return pa.table({"a": t["a"].filter(pa.array(ok)),
+                         "b": t["b"].filter(pa.array(ok))})
+
+    return enriched.map_batches(verify, batch_format="pyarrow")
 
 
 # --- multimodal stubs over the synthetic image table -----------------------
@@ -765,6 +1007,9 @@ SQL_QUERIES: dict[str, Callable] = {
     "running_value_per_user": running_value_per_user,
     "sessionize_events": sessionize_events,
     "docs_unique_text": docs_unique_text,
+    "exact_dup_pairs": exact_dup_pairs,
+    "customers_without_big_orders": customers_without_big_orders,
+    "nations_customers_and_suppliers": nations_customers_and_suppliers,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }

@@ -80,7 +80,8 @@ def main(argv=None) -> int:
         res = run_neardup(read_table(args.input), cfg,
                           num_partitions=args.num_partitions)
         write_table(res["clusters"], f"{args.output}/clusters")
-        write_table(res["edges"], f"{args.output}/edges")
+        if res["edges"] is not None:  # empty input yields no edge table
+            write_table(res["edges"], f"{args.output}/edges")
         summary = {"mode": "streaming",
                    "clusters_path": f"{args.output}/clusters",
                    **res["metrics"]}

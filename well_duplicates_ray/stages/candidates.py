@@ -17,10 +17,20 @@ bucket become candidate pairs:
                                         no-shingle captions)
 
 Skew: bucket sizes are counted first (cheap partial-aggregated groupby —
-SURVEY.md §4.3); buckets above ``bucket_pair_cap`` are *salted*: members
-are star-linked to per-sub-bucket minima, and the sub-minima are linked
-to each other, preserving the transitive closure with bounded group
-sizes instead of an m^2 pair explosion. Nothing is silently dropped.
+SURVEY.md §4.3); buckets above ``bucket_pair_cap`` are *salted* into
+sub-buckets. For EXACT-key buckets (content sha / caption hash — bucket
+equality IS the duplicate predicate, so members are mutually dup) the
+members star-link to per-sub-bucket minima and the minima to each other:
+lossless, the transitive closure of the verified graph equals the full
+clique. For SKETCH-source hot buckets (LSH bands, pHash/SimHash prefix
+bands, winnow anchors — bucket equality only makes members *candidates*)
+every pair WITHIN a sub-bucket is tested (sub-buckets sized ~sqrt(cap),
+so O(m*sqrt(cap)) pairs total) plus the hub links; member pairs split
+across sub-buckets of the same hot bucket are NOT individually tested
+and rely on co-occurring in another bucket source (a true near-dup pair
+shares many: 32 LSH bands, 4+4 prefix bands, winnow anchors). That
+residual is the one sampled path, and it is confined to pathological
+sketch buckets above ``bucket_pair_cap``.
 """
 
 from __future__ import annotations
@@ -49,9 +59,11 @@ def _str_hash64(strings: list[str | None]) -> np.ndarray:
     return out
 
 
-SRC_PLAIN = 0   # LSH / winnow / exact buckets: bucket equality IS the match
+SRC_PLAIN = 0   # LSH bands / winnow anchors: bucket => candidate only
 SRC_PHASH = 1   # pHash prefix band: confirm full Hamming <= phash_radius
 SRC_SIMHASH = 2  # SimHash prefix band: confirm full Hamming <= simhash_radius
+SRC_EXACT = 3   # content-sha / caption-hash buckets: members mutually dup
+                # (equality is the predicate) — hot-bucket stars are lossless
 
 
 def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
@@ -118,10 +130,10 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     # --- exact payload / exact caption ----------------------------------
     sha_h = _str_hash64(batch["content_sha"].to_pylist())
-    emit(mix64(sha_h, 5000), np.arange(n))
+    emit(mix64(sha_h, 5000), np.arange(n), SRC_EXACT)
     if cfg.exact_caption_dup:
         cap_h = _str_hash64(batch["caption"].to_pylist())
-        emit(mix64(cap_h, 5001), np.arange(n))
+        emit(mix64(cap_h, 5001), np.arange(n), SRC_EXACT)
 
     all_keys = np.concatenate(buckets).view(np.int64)
     all_rows = np.concatenate(id_idx)
@@ -148,8 +160,10 @@ def find_hot_buckets(
     cap: int,
     n_emissions: int | None = None,
     max_collect: int = 100_000,
-) -> list[int]:
-    """Buckets with more than ``cap`` members (the skew set).
+) -> dict[int, int]:
+    """Buckets with more than ``cap`` members (the skew set), as
+    {bucket: member_count} — hot_pairs sizes each bucket's sub-bucket
+    count from the member count.
 
     Size-gated like the verify join: below the gate the count runs as one
     vectorized Arrow value_counts on the driver (a full distributed
@@ -170,11 +184,16 @@ def find_hot_buckets(
         import pyarrow.compute as pc_
 
         hot_mask = pc_.greater(vc.field("counts"), cap)
-        hot = vc.field("values").filter(hot_mask).to_pylist()
+        hot = dict(
+            zip(
+                vc.field("values").filter(hot_mask).to_pylist(),
+                vc.field("counts").filter(hot_mask).to_pylist(),
+            )
+        )
     else:
         counts = bucket_counts(emissions)
         rows = counts.filter(expr=f"n > {cap}").limit(max_collect + 1).take_all()
-        hot = [r["bucket"] for r in rows]
+        hot = {r["bucket"]: r["n"] for r in rows}
     if len(hot) > max_collect:
         raise RuntimeError(
             f"more than {max_collect} hot buckets — raise bucket_pair_cap "
@@ -233,6 +252,7 @@ def cold_pairs(
         ham = hamming64(code_l, code_r)
         keep = (
             (src == SRC_PLAIN)
+            | (src == SRC_EXACT)
             | ((src == SRC_PHASH) & (ham <= cfg.phash_radius))
             | ((src == SRC_SIMHASH) & (ham <= cfg.simhash_radius))
         )
@@ -244,45 +264,72 @@ def cold_pairs(
 
 def hot_pairs(
     emissions: ray.data.Dataset,
-    hot: list[int],
+    hot: dict[int, int],
     cfg: DedupConfig,
 ) -> ray.data.Dataset | None:
-    """Salted star-linking for hot buckets (SURVEY.md §4.3 skew row).
+    """Salted sub-bucket pairing for hot buckets (SURVEY.md §4.3 skew row).
 
-    Members of a hot bucket are hashed into ~sqrt-sized sub-buckets; each
-    sub-bucket star-links to its min id, and the sub-minima of one bucket
-    are star-linked together — O(m) pairs, connectivity preserved.
+    Members of a hot bucket are hashed into sub-buckets of ~sqrt(cap)
+    expected size (the sub-bucket count scales with the member count, so
+    the work per bucket stays O(m * sqrt(cap)), never m^2). Within each
+    sub-bucket:
+
+    - EXACT-key buckets (SRC_EXACT — sha / caption hash) star-link to the
+      sub-minimum; sub-minima star-link per bucket. Lossless: members are
+      mutually dup, so every hub edge verifies and the component equals
+      the clique.
+    - sketch buckets emit ALL intra-sub-bucket pairs plus the hub links;
+      member pairs split across sub-buckets rely on their other bucket
+      sources (see module docstring — the one sampled path).
     """
     if not hot:
         return None
     hot_arr = np.array(sorted(hot), dtype=np.int64)
-    n_salt = max(int(np.sqrt(cfg.bucket_pair_cap)) * 4, 16)
+    sub_target = max(int(np.sqrt(cfg.bucket_pair_cap)), 4)
+    n_salt_arr = np.maximum(
+        np.array([hot[int(b)] for b in hot_arr], dtype=np.int64) // sub_target,
+        2,
+    ).astype(np.uint64)
 
     def keep_hot_salted(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "salted": pa.array([], pa.int64()),
+                          "node": pa.array([], pa.int64()),
+                          "src": pa.array([], pa.int8())})
+        if t.num_rows == 0:
+            return empty
         b = t["bucket"].to_numpy()
         idx = np.clip(np.searchsorted(hot_arr, b), 0, len(hot_arr) - 1)
         mask = hot_arr[idx] == b
         t = t.filter(pa.array(mask))
         if t.num_rows == 0:
-            return pa.table({"bucket": pa.array([], pa.int64()),
-                             "salted": pa.array([], pa.int64()),
-                             "node": pa.array([], pa.int64())})
+            return empty
         b = t["bucket"].to_numpy()
-        idh = mix64(t["node"].to_numpy().view(np.uint64), 7002) % np.uint64(n_salt)
+        idx = np.searchsorted(hot_arr, b)
+        # per-bucket sub-bucket count, scaled to that bucket's member count
+        idh = mix64(t["node"].to_numpy().view(np.uint64), 7002) % n_salt_arr[idx]
         salted = mix64(b.view(np.uint64) + idh, 7001).view(np.int64)
         return pa.table({"bucket": t["bucket"], "salted": pa.array(salted),
-                         "node": t["node"]})
+                         "node": t["node"], "src": t["src"]})
 
     salted_rows = emissions.map_batches(keep_hot_salted, batch_format="pyarrow")
 
-    def star(t: pa.Table, key: str) -> pa.Table:
+    # all-pairs guard: a sub-bucket this large means adversarial hash skew;
+    # fall back to the lossy star rather than an m^2 blowup.
+    ALL_PAIRS_MAX = 4096
+
+    def sub_group_pairs(t: pa.Table) -> pa.Table:
         ids = np.unique(t["node"].to_numpy())
+        src = int(t["src"][0].as_py())
+        if src != SRC_EXACT and 1 < ids.size <= ALL_PAIRS_MAX:
+            ai, bi = np.triu_indices(ids.size, k=1)
+            return _pairs_table(ids[ai], ids[bi])
         hub = ids[0]
         others = ids[1:]
         return _pairs_table(np.full(others.size, hub), others)
 
     sub_pairs = salted_rows.groupby("salted").map_groups(
-        lambda t: star(t, "salted"), batch_format="pyarrow"
+        sub_group_pairs, batch_format="pyarrow"
     )
 
     def sub_min(t: pa.Table) -> pa.Table:
@@ -291,8 +338,13 @@ def hot_pairs(
                          "node": pa.array([m], pa.int64())})
 
     reps = salted_rows.groupby("salted").map_groups(sub_min, batch_format="pyarrow")
+
+    def rep_star(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["node"].to_numpy())
+        return _pairs_table(np.full(ids.size - 1, ids[0]), ids[1:])
+
     rep_pairs = reps.groupby("bucket").map_groups(
-        lambda t: star(t, "bucket"), batch_format="pyarrow"
+        rep_star, batch_format="pyarrow"
     )
     return sub_pairs.union(rep_pairs)
 
@@ -310,6 +362,8 @@ def dedupe_pairs(
     group_by below the gate, hash-shuffle groupby above it."""
 
     def batch_distinct(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names:  # zero-column block from an empty join
+            return _pairs_table([], [])
         t = t.select(["a", "b"])
         if t.num_rows == 0:
             return t  # group_by().aggregate([]) on empty drops the schema
@@ -317,12 +371,20 @@ def dedupe_pairs(
 
     local = pairs.map_batches(batch_distinct, batch_format="pyarrow").materialize()
     n = local.count()
+    if n == 0:
+        # normalize to a schema-stable empty pair table (an all-empty
+        # dataset can surface zero-column blocks downstream)
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+        )
     if n <= driver_gate:
         import ray as _ray
 
-        tbl = pa.concat_tables([_ray.get(r) for r in local.to_arrow_refs()])
-        if tbl.num_rows == 0:
-            return local
+        tbl = pa.concat_tables(
+            [t for t in (_ray.get(r) for r in local.to_arrow_refs())
+             if t.num_rows > 0]  # drop empty blocks: they may carry an
+        )                        # empty schema that poisons the concat
         distinct = tbl.group_by(["a", "b"]).aggregate([])
         # split into multiple blocks: a single-block dataset would hand the
         # downstream verify actor pool exactly ONE task (no parallelism)

@@ -66,29 +66,39 @@ class DecodePHash:
         self.codecs = {"raw": None}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        import pyarrow.compute as pc
+
         bufs = batch["bytes"].to_pylist()
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
-        fmts = batch["fmt"].to_pylist()
         stored = batch["phash"].to_numpy().astype(np.int64)
 
-        decode_ok = np.zeros(n, dtype=bool)
+        # vectorized decodability screen: fmt=='raw', payload present, and
+        # byte length matching w*h*3 (Arrow kernels, no per-row python)
+        expected = (ws.astype(np.int64) * hs.astype(np.int64) * 3)
+        lens = pc.binary_length(batch["bytes"]).cast(pa.int64())
+        ok = pc.and_(
+            pc.coalesce(pc.equal(lens, pa.array(expected)), pa.scalar(False)),
+            pc.coalesce(pc.equal(batch["fmt"], "raw"), pa.scalar(False)),
+        )
+        decode_ok = ok.to_numpy(zero_copy_only=False).astype(bool)
         phash_out = stored.copy()
-        raw_idx = []
-        for i in range(n):
-            if fmts[i] == "raw" and bufs[i] is not None and len(bufs[i]) == int(ws[i]) * int(hs[i]) * 3:
-                raw_idx.append(i)
-        raw_idx = np.array(raw_idx, dtype=np.int64)
+        raw_idx = np.flatnonzero(decode_ok)
         if raw_idx.size:
             ph = phash_raw_batch(
                 [bufs[i] for i in raw_idx], ws[raw_idx], hs[raw_idx]
             ).view(np.int64)
             phash_out[raw_idx] = ph
-            decode_ok[raw_idx] = True
         phash_match = phash_out == stored
 
-        sha = [content_sha1(b) if b is not None else "" for b in bufs]
+        # null payloads get a UNIQUE per-row sentinel sha: a shared ''
+        # would co-bucket unrelated corrupt rows and verify them as
+        # kind='exact' duplicates of each other.
+        ids = batch["image_id"].to_pylist()
+        sha = [
+            content_sha1(b) if b is not None else f"invalid:{ids[i]}"
+            for i, b in enumerate(bufs)
+        ]
         return pa.table(
             {
                 "image_id": batch["image_id"],

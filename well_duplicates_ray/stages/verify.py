@@ -60,13 +60,16 @@ def verify_enriched_batch(
     kind = np.full(n, "", dtype=object)
     jac = np.full(n, -1.0)
 
-    # equality predicates stay in Arrow C kernels — no python string churn
-    sha_eq = pc.equal(batch["sha_a"], batch["sha_b"]).to_numpy(
-        zero_copy_only=False
-    )
-    cap_eq = pc.equal(batch["caption_a"], batch["caption_b"]).to_numpy(
-        zero_copy_only=False
-    )
+    # equality predicates stay in Arrow C kernels — no python string churn.
+    # fill_null(False): input_hint's caption (and sha) are nullable, and a
+    # null equality result would make to_numpy return an object array that
+    # breaks boolean masking (null == anything is NOT a dup).
+    sha_eq = pc.fill_null(
+        pc.equal(batch["sha_a"], batch["sha_b"]), False
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    cap_eq = pc.fill_null(
+        pc.equal(batch["caption_a"], batch["caption_b"]), False
+    ).to_numpy(zero_copy_only=False).astype(bool)
     ph_near = (ring >= 0) & (ring <= cfg.phash_radius)
 
     kind[ph_near] = "phash"
@@ -113,8 +116,8 @@ def verify_enriched_batch(
             L = cfg.substring_min_len
             for k in np.flatnonzero(fp_hit):
                 i = undecided[rest[k]]
-                ca = arr_a[int(rest[k])].as_py()
-                cb = arr_b[int(rest[k])].as_py()
+                ca = arr_a[int(rest[k])].as_py() or ""
+                cb = arr_b[int(rest[k])].as_py() or ""
                 if longest_common_substring_len(ca.encode(), cb.encode()) >= L:
                     kind[i] = "substring"
 

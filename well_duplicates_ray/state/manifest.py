@@ -112,3 +112,20 @@ def atomic_write_table(table: pa.Table, path: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
+
+
+def atomic_write_dataset(ds, final_dir: str) -> None:
+    """Streaming ``Dataset.write_parquet`` into a temp directory, then one
+    atomic rename onto ``final_dir`` — the distributed analogue of
+    ``atomic_write_table``: the data never funnels through the driver and
+    the directory (one part file per block) is never observable
+    half-written. A stale final_dir (digest mismatch rerun) is replaced."""
+    import shutil
+
+    parent = os.path.dirname(final_dir.rstrip("/"))
+    os.makedirs(parent, exist_ok=True)
+    tmp = f"{final_dir.rstrip('/')}.tmp.{uuid.uuid4().hex[:8]}"
+    ds.write_parquet(tmp)
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp, final_dir)
