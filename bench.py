@@ -28,14 +28,23 @@ import time
 # masquerades as poor scaling. Raising the mmap/trim thresholds keeps big
 # allocations inside the (prefaulted, reused) malloc arenas. On a real
 # cluster this is standard allocator hygiene, not benchmark gaming.
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
+# Experiment knobs, default OFF: measured at 32 CPUs on this VM, glibc
+# mmap/trim-threshold tuning and a bounded prefaulted object store both
+# REGRESSED the flagship (88s and 114s vs 63s control) — the sandbox's
+# serialized page-zeroing penalizes the prefault itself and arena-retained
+# heap appears to add contention. Kept as opt-in knobs for future probes.
+if os.environ.get("GRAFT_MALLOC_TUNE", "0") != "0":
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
 
 SF_DIR_DEFAULT = "/root/testdata/sf0.1"
 BENCH_IMG_SIZE = 64
 BENCH_SEED = 42
-OBJECT_STORE_BYTES = 4 << 30  # bounded pool: fully prefaulted in warm-up,
-                              # then recycled by plasma (no fresh-page floor)
+# GRAFT_STORE_GB=0 (default) -> ray's default store sizing (~30% of RAM)
+OBJECT_STORE_BYTES = int(
+    float(os.environ.get("GRAFT_STORE_GB", "0")) * (1 << 30)
+)
+PLASMA_PREFAULT = os.environ.get("GRAFT_PLASMA_PREFAULT", "0") != "0"
 
 BENCH_QUERIES = [
     "dedup_exact_text",
@@ -79,7 +88,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
-        object_store_memory=OBJECT_STORE_BYTES,
+        **(
+            {"object_store_memory": OBJECT_STORE_BYTES}
+            if OBJECT_STORE_BYTES > 0
+            else {}
+        ),
     )
     from ray.data import DataContext
 
@@ -115,13 +128,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # store so its shm pages are faulted once here, untimed, and recycled
     # by every later put — the timed run then measures the engine, not the
     # kernel's serialized first-touch zeroing of /dev/shm.
-    chunk = _np.empty(256 * 1024 * 1024, dtype=_np.uint8)
-    chunk[::4096] = 1
-    # hold ~70% of the pool live at once (beyond that, puts would start
-    # spilling); the remainder is faulted incidentally by the run itself
-    n_chunks = int(OBJECT_STORE_BYTES * 0.7) // chunk.nbytes
-    refs = [ray.put(chunk) for _ in range(max(n_chunks, 1))]
-    del refs, chunk
+    if PLASMA_PREFAULT and OBJECT_STORE_BYTES > 0:
+        chunk = _np.empty(256 * 1024 * 1024, dtype=_np.uint8)
+        chunk[::4096] = 1
+        # hold ~70% of the pool live at once (beyond that, puts would
+        # start spilling); the rest is faulted incidentally by the run
+        n_chunks = int(OBJECT_STORE_BYTES * 0.7) // chunk.nbytes
+        refs = [ray.put(chunk) for _ in range(max(n_chunks, 1))]
+        del refs, chunk
+        time.sleep(1.0)  # let plasma release the chunks before the run
 
     from well_duplicates_ray.config import DedupConfig
     from well_duplicates_ray.io import read_table

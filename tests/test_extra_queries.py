@@ -131,6 +131,17 @@ def test_embedding_lsh_recall_on_planted(ray_session, tmp_path):
     # verification is exact at the verify threshold: no false positives
     assert lsh <= exact_pairs(Q.LSH_COSINE_THRESHOLD)
 
+    # the scale path (pair-vector hash joins instead of the broadcast
+    # matrix) must produce the identical pair set
+    monkeypatch = pytest.MonkeyPatch()
+    try:
+        monkeypatch.setattr(Q, "EMB_BROADCAST_GATE", 0)
+        lsh_join = {tuple(sorted((r["a"], r["b"])))
+                    for r in Q.embedding_neardup_lsh(str(d)).take_all()}
+    finally:
+        monkeypatch.undo()
+    assert lsh_join == lsh
+
 
 def test_multimodal_stages(ray_session):
     from well_duplicates_ray.pipelines import queries as Q

@@ -837,15 +837,25 @@ def _fixed_bin_to_matrix(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarra
     return buf[start : start + len(col) * dim].reshape(len(col), dim)
 
 
+EMB_BROADCAST_GATE = 2_000_000  # rows; same small-side gate as G14
+
+
 def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
     """Random-hyperplane LSH near-dup pairs over embeddings: sign-bit
     codes -> banded buckets -> candidate pairs -> dedupe -> attach both
-    vectors by hash join -> exact-cosine verify.
+    vectors -> exact-cosine verify.
 
-    This is the 10^12-scale path: only the hyperplane matrix (dim x 60
-    floats) is broadcast; vectors reach the verifier through the same
-    pair-feature join shape as the flagship (stages/verify.py G14), so
-    nothing whole-dataset ever sits in one object."""
+    Vector attachment is size-gated like the flagship's G14 join
+    (stages/verify.py): below the gate the normalized matrix is ray.put
+    once and the verifier resolves pair vectors with vectorized
+    searchsorted lookups (zero-copy plasma, no python dict, no per-row
+    loop); above it the vectors reach the verifier through hash joins on
+    the pair keys, so nothing whole-dataset ever sits in one object —
+    the 10^12-scale path. Only the hyperplane matrix (dim x 60 floats)
+    is always broadcast."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_emb = pf.metadata.num_rows
+    n_parts = max(2, min(16, n_emb // 4096))
     dim = _embedding_dim(sf_dir)
     rng = np.random.default_rng(CFG.seed)
     planes_ref = ray.put(rng.standard_normal((dim, _HYPERPLANES)))
@@ -877,7 +887,7 @@ def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
         emit, batch_format="pyarrow"
     )
     joined = emissions.join(
-        emissions, "inner", 8, on=("bucket",), right_suffix="_r"
+        emissions, "inner", n_parts, on=("bucket",), right_suffix="_r"
     )
 
     def order_pairs(t: pa.Table) -> pa.Table:
@@ -887,7 +897,7 @@ def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
     # dedupe BEFORE verification: the same true pair collides in several
-    # bands, and the vector-attach join must ship each pair's vectors once
+    # bands, and the vector attach must ship each pair's vectors once
     pairs = (
         joined.map_batches(order_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
@@ -895,9 +905,34 @@ def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
         .select_columns(["a", "b"])
     )
 
-    # attach each pair's two vectors by hash join (acero joins reject
-    # list-typed payloads, so the unit-normalized vector rides along as a
-    # fixed_size_binary(dim*4) blob — unpacked zero-copy in the verifier)
+    if n_emb <= EMB_BROADCAST_GATE:
+        # small-side fast path: broadcast the sorted (ids, unit matrix)
+        # once; per batch, two searchsorted gathers + one einsum
+        ids, m = _embedding_matrix(sf_dir)
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        mn = m[order] / np.linalg.norm(m[order], axis=1, keepdims=True)
+        mat_ref = ray.put((ids_sorted, mn))
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            ids_sorted, mn = ray.get(mat_ref)  # zero-copy from plasma
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            ia = np.searchsorted(ids_sorted, a)
+            ib = np.searchsorted(ids_sorted, b)
+            sims = np.einsum("ij,ij->i", mn[ia], mn[ib])
+            ok = sims >= LSH_COSINE_THRESHOLD
+            return pa.table({"a": pa.array(a[ok]), "b": pa.array(b[ok])})
+
+        return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    # scale path: attach each pair's two vectors by hash join (acero
+    # joins reject list-typed payloads, so the unit-normalized vector
+    # rides along as a fixed_size_binary(dim*4) blob — unpacked
+    # zero-copy in the verifier)
     def pack_side(side: str):
         def pack(t: pa.Table) -> pa.Table:
             m = _list_to_matrix(t["embedding"], dim)
@@ -913,10 +948,10 @@ def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     enriched = pairs.join(
         emb.map_batches(pack_side("a"), batch_format="pyarrow"),
-        "inner", 8, on=("a",),
+        "inner", n_parts, on=("a",),
     ).join(
         emb.map_batches(pack_side("b"), batch_format="pyarrow"),
-        "inner", 8, on=("b",),
+        "inner", n_parts, on=("b",),
     )
 
     def verify(t: pa.Table) -> pa.Table:
