@@ -68,13 +68,20 @@ def _sf_of(sf_dir: str) -> float:
 
 def _images_for_sf(sf: float) -> tuple[str, int]:
     n = max(2000, int(600_000 * sf))
-    path = f"/tmp/wd_cache/bench_images_n{n}_s{BENCH_SEED}_sz{BENCH_IMG_SIZE}.parquet"
+    # row groups are the read-parallelism atom: n//64 groups capped the
+    # fused read+features stage at ~15 concurrent tasks on 32 CPUs at
+    # sf0.1 (round-2 stage probe). 1024-row groups give every CPU work.
+    rg = max(min(n // 256, 4096), 1024)
+    path = (
+        f"/tmp/wd_cache/bench_images_n{n}_s{BENCH_SEED}"
+        f"_sz{BENCH_IMG_SIZE}_rg{rg}.parquet"
+    )
     if not os.path.exists(path):
         from well_duplicates_ray.fixtures import write_images_parquet
 
         write_images_parquet(
             path, n=n, seed=BENCH_SEED, size=BENCH_IMG_SIZE,
-            row_group_size=max(n // 64, 4096),
+            row_group_size=rg,
         )
     return path, n
 

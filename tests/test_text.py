@@ -55,6 +55,35 @@ def test_minhash_estimates_jaccard():
     assert (sig[0] == sig[2]).mean() < 0.3
 
 
+def test_oph_minhash_estimates_jaccard_and_densifies():
+    from well_duplicates_ray.functions.phash import mix64
+    from well_duplicates_ray.functions.text import oph_minhash_signatures
+
+    rng = np.random.default_rng(7)
+    base = " ".join(chr(97 + int(x)) * 3 for x in rng.integers(0, 26, 120))
+    variant = base[: int(len(base) * 0.8)] + " zz qq pp ww rr"
+    other = " ".join(chr(97 + int(x)) * 3 for x in rng.integers(0, 26, 120))
+    vals, offs = shingle_hashes([base, variant, other, "", "abcdef"],
+                                CFG.shingle_k)
+    sig = oph_minhash_signatures(vals, offs, CFG.minhash_perms, CFG.seed,
+                                 mix64)
+    true_j = exact_jaccard(vals[offs[0]:offs[1]], vals[offs[1]:offs[2]])
+    est = (sig[0] == sig[1]).mean()
+    assert abs(est - true_j) < 0.2, (est, true_j)
+    assert (sig[0] == sig[2]).mean() < 0.3
+    # empty row -> all-sentinel; short row -> densified, NO sentinel slots
+    assert (sig[3] == SENTINEL).all()
+    assert not (sig[4] == SENTINEL).any()
+    # deterministic
+    sig2 = oph_minhash_signatures(vals, offs, CFG.minhash_perms, CFG.seed,
+                                  mix64)
+    assert np.array_equal(sig, sig2)
+    # batch-composition independent: same row alone gives the same sig
+    v1, o1 = shingle_hashes([base], CFG.shingle_k)
+    solo = oph_minhash_signatures(v1, o1, CFG.minhash_perms, CFG.seed, mix64)
+    assert np.array_equal(solo[0], sig[0])
+
+
 def test_minhash_empty_rows_sentinel():
     vals, offs = shingle_hashes(["", "abc", "abcdefgh"], 5)
     a, b = minhash_params(16, 1)

@@ -24,6 +24,11 @@ class DedupConfig:
     # --- caption shingling / MinHash-LSH ---------------------------------
     shingle_k: int = 5            # char (byte) shingle length
     minhash_perms: int = 128      # P signature length
+    minhash_mode: str = "oph"     # 'oph' = one-permutation hashing with
+                                  # rotation densification (O(shingles)
+                                  # sketching — the at-scale default);
+                                  # 'dense' = P independent permutations
+                                  # (O(shingles*P) matrix, reference-style)
     lsh_bands: int = 32           # b
     lsh_rows: int = 4             # r ; b*r == minhash_perms
     jaccard_threshold: float = 0.7
@@ -75,6 +80,12 @@ class DedupConfig:
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.minhash_perms:
             raise ValueError("lsh_bands * lsh_rows must equal minhash_perms")
+        if self.minhash_mode not in ("oph", "dense"):
+            raise ValueError("minhash_mode must be 'oph' or 'dense'")
+        if self.minhash_mode == "oph" and (
+            self.minhash_perms & (self.minhash_perms - 1)
+        ):
+            raise ValueError("oph minhash_perms must be a power of two")
         if 64 % self.phash_bands != 0 or 64 % self.simhash_bands != 0:
             raise ValueError("band counts must divide 64")
         if self.phash_bands < self.phash_radius + 1:

@@ -22,9 +22,7 @@ import pyarrow as pa
 from well_duplicates_ray.config import DedupConfig, DEFAULT_CONFIG
 from well_duplicates_ray.functions.phash import (
     hamming64,
-    phash_from_gray32,
-    resize_gray,
-    to_gray,
+    phash_rgb_stack,
 )
 from well_duplicates_ray.functions.text import exact_jaccard, shingle_hashes
 
@@ -72,7 +70,9 @@ def _images_batch(rng: np.random.Generator, n: int, size: int) -> np.ndarray:
 
 
 def _phash_stack(imgs: np.ndarray) -> np.ndarray:
-    return phash_from_gray32(resize_gray(to_gray(imgs)))
+    # same kernel the engine's decode stage runs (phash.py) — the stored
+    # phash column, the recompute, and the oracle must agree bit-for-bit
+    return phash_rgb_stack(imgs)
 
 
 def make_images(

@@ -115,30 +115,90 @@ def phash_from_gray32(gray32: np.ndarray) -> np.ndarray:
     return packed.view(">u8").astype(np.uint64).reshape(-1)
 
 
+def phash_rgb_stack(imgs: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 -> (n,) uint64 pHash.
+
+    When the shape mean-pools exactly to 32x32, the pool runs FIRST and in
+    integer space (uint32 sums — exact), and luma converts the pooled
+    32x32x3 stack: pooling and luma are both linear maps, so this is the
+    same transform as gray-then-pool up to float rounding, at ~12x less
+    float traffic (the full-resolution float32 cast was the decode
+    stage's dominant memory cost on this VM's serialized page zeroing).
+    """
+    n, h, w, _ = imgs.shape
+    fh, fw = h // DCT_SIZE, w // DCT_SIZE
+    if h % DCT_SIZE == 0 and w % DCT_SIZE == 0 and fh * fw <= 257:
+        # strided slice-adds beat a reshape multi-axis sum ~5x here, and
+        # uint16 accumulation is exact for pool factors up to 257
+        acc = np.zeros((n, DCT_SIZE, DCT_SIZE, 3), dtype=np.uint16)
+        for dy in range(fh):
+            for dx in range(fw):
+                acc += imgs[:, dy::fh, dx::fw, :]
+        pooled = acc.astype(np.float32) * np.float32(1.0 / (fh * fw))
+        gray = pooled @ _GRAY_W
+    else:
+        gray = resize_gray(to_gray(imgs))
+    return phash_from_gray32(gray)
+
+
+_PHASH_CHUNK = 1024
+_SCRATCH: dict = {}  # per-worker-process reusable gather buffers, keyed by
+                     # (w, h) — fresh pages in this sandbox zero at
+                     # ~70-200 MB/s GLOBALLY SERIALIZED, so the hot path
+                     # must not allocate large fresh arrays per batch
+
+
+def _scratch_u8(w: int, h: int) -> np.ndarray:
+    key = (w, h)
+    buf = _SCRATCH.get(key)
+    if buf is None:
+        buf = np.empty((_PHASH_CHUNK, h, w, 3), dtype=np.uint8)
+        _SCRATCH[key] = buf
+    return buf
+
+
+def phash_raw_flat(
+    flat: np.ndarray, starts: np.ndarray, w: int, h: int
+) -> np.ndarray:
+    """pHash rows of uniform (w, h) read directly from a flat byte buffer
+    (the Arrow binary column's data buffer — zero copies on the encoded
+    bytes when rows are stored consecutively, which Arrow guarantees for
+    a once-built column)."""
+    n = starts.size
+    out = np.empty(n, dtype=np.uint64)
+    rowb = w * h * 3
+    for s in range(0, n, _PHASH_CHUNK):
+        part = starts[s : s + _PHASH_CHUNK]
+        m = part.size
+        if m > 1 and np.all(np.diff(part) == rowb):
+            stack = flat[part[0] : part[0] + m * rowb].reshape(m, h, w, 3)
+        elif m == 1:
+            stack = flat[part[0] : part[0] + rowb].reshape(1, h, w, 3)
+        else:  # rows not consecutive (e.g. invalid rows skipped): gather
+            u8 = _scratch_u8(w, h)
+            idx = part[:, None] + np.arange(rowb, dtype=np.int64)[None, :]
+            np.take(flat, idx.reshape(-1), out=u8[:m].reshape(-1))
+            stack = u8[:m]
+        out[s : s + m] = phash_rgb_stack(stack)
+    return out
+
+
 def phash_raw_batch(bufs, ws, hs) -> np.ndarray:
-    """pHash a batch of fmt='raw' payloads; groups rows by (w, h) so every
-    group is one vectorized stack (heterogeneous shapes cost one python
-    iteration per *distinct shape*, not per row)."""
+    """pHash a batch of fmt='raw' payloads (list of bytes); groups rows by
+    (w, h) so every group runs through the flat-buffer kernel — one
+    python iteration per *distinct shape*, not per row."""
     n = len(bufs)
     out = np.zeros(n, dtype=np.uint64)
     ws = np.asarray(ws)
     hs = np.asarray(hs)
-    chunk = 1024  # bound the float working set: this sandbox faults in new
-    # pages at ~70 MB/s, so small reused buffers beat one huge allocation
     for (w, h) in {(int(w), int(h)) for w, h in zip(ws, hs)}:
         idx = np.flatnonzero((ws == w) & (hs == h))
-        for s in range(0, idx.size, chunk):
-            part = idx[s : s + chunk]
-            # one concatenated frombuffer beats thousands of np.stack copies
-            joined = b"".join(bufs[i] for i in part)
-            if len(joined) != len(part) * w * h * 3:
-                raise ValueError("raw payload size mismatch in batch")
-            stack = np.frombuffer(joined, dtype=np.uint8).reshape(
-                len(part), h, w, 3
-            )
-            gray = resize_gray(to_gray(stack))
-            out[part] = phash_from_gray32(gray)
-            del joined, stack, gray  # free before next chunk -> malloc reuse
+        joined = b"".join(bufs[i] for i in idx)
+        if len(joined) != idx.size * w * h * 3:
+            raise ValueError("raw payload size mismatch in batch")
+        flat = np.frombuffer(joined, dtype=np.uint8)
+        starts = np.arange(idx.size, dtype=np.int64) * (w * h * 3)
+        out[idx] = phash_raw_flat(flat, starts, w, h)
     return out
 
 

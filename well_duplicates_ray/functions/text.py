@@ -165,11 +165,83 @@ def minhash_signatures(
     return sig
 
 
+# (256, 8) LUT of +-1 votes per byte value — lets SimHash expand shingle
+# hashes bytewise in int8 instead of materializing an (M, 64) uint64
+# intermediate (8x the memory traffic; this VM is bandwidth-bound).
+_SIM_LUT = (
+    ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1).astype(np.int8)
+    * 2
+    - 1
+)
+
+
+_OPH_HOP = np.uint64(0x9E3779B97F4A7C15)  # odd; distinguishes hop counts
+
+
+def oph_minhash_signatures(
+    values: np.ndarray,
+    out_offsets: np.ndarray,
+    perms: int,
+    seed: int,
+    mixer,
+) -> np.ndarray:
+    """One-permutation MinHash with rotation densification.
+
+    One seeded mix pass assigns every shingle hash to one of ``perms``
+    bins (top bits) and the signature keeps the min hash per (row, bin) —
+    O(M log M) total instead of the dense sketch's O(M * perms) matrix,
+    which was the feature stage's dominant memory traffic (this VM is
+    bandwidth-bound). Empty bins borrow the value of the nearest filled
+    bin to the left (circular), offset by hops * C so different hop
+    distances stay distinguishable — the rotation scheme of Shrivastava &
+    Li, "Densifying One Permutation Hashing via Rotation for Fast Near
+    Neighbor Search" (ICML 2014); one-permutation sketching per Li,
+    Owen, Zhang (NIPS 2012). Zero-shingle rows return the all-SENTINEL
+    signature, like the dense path.
+    """
+    if perms & (perms - 1):
+        raise ValueError("oph perms must be a power of two")
+    n = len(out_offsets) - 1
+    sig = np.full((n, perms), _SENTINEL, dtype=np.uint64)
+    counts = np.diff(out_offsets)
+    if values.size == 0 or n == 0:
+        return sig
+    h = mixer(values, 9100 + seed)
+    bin_shift = np.uint64(64 - int(np.log2(perms)))
+    bins = (h >> bin_shift).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    key = rows * perms + bins
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    hs = h[order]
+    seg = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    sig.reshape(-1)[ks[seg]] = np.minimum.reduceat(hs, seg)
+
+    # rotation densification over the (n, perms) grid (tiny: n x 2p ints)
+    filled = sig != _SENTINEL
+    some = filled.any(axis=1)
+    partial = np.flatnonzero(some & ~filled.all(axis=1))
+    if partial.size:
+        s = sig[partial]
+        f2 = np.concatenate([filled[partial]] * 2, axis=1)
+        pos = np.where(f2, np.arange(2 * perms)[None, :], -1)
+        last = np.maximum.accumulate(pos, axis=1)[:, perms:]  # (m, perms)
+        hops = (np.arange(perms)[None, :] + perms - last).astype(np.uint64)
+        v2 = np.concatenate([s] * 2, axis=1)
+        borrowed = np.take_along_axis(v2, last, axis=1) + hops * _OPH_HOP
+        sig[partial] = np.where(filled[partial], s, borrowed)
+    return sig
+
+
 def simhash_from_shingles(
     values: np.ndarray, out_offsets: np.ndarray, chunk_elems: int = 1 << 22
 ) -> np.ndarray:
     """64-bit SimHash per row (Charikar 2002): sign of the per-bit sum of
-    +-1 votes from each shingle hash. Zero-shingle rows get SENTINEL."""
+    +-1 votes from each shingle hash. Zero-shingle rows get SENTINEL.
+
+    Bit votes come from a bytewise +-1 LUT over the hash's little-endian
+    bytes (byte k bit j == global bit 8k+j, matching the shift order), so
+    the expansion is int8 end-to-end."""
     n = len(out_offsets) - 1
     out = np.full(n, _SENTINEL, dtype=np.uint64)
     counts = np.diff(out_offsets)
@@ -177,10 +249,9 @@ def simhash_from_shingles(
     if nz.size == 0:
         return out
     shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
     start = 0
     while start < len(nz):
-        # chunk rows so (elems x 64) int8 intermediate stays bounded
+        # chunk rows so the (elems x 64) int8 intermediate stays bounded
         end = start
         acc = 0
         budget = max(chunk_elems // 64, 1024)
@@ -188,16 +259,23 @@ def simhash_from_shingles(
             acc += int(counts[nz[end]])
             end += 1
         rows = nz[start:end]
-        flat = np.concatenate([values[out_offsets[r] : out_offsets[r + 1]] for r in rows])
-        bits = ((flat[:, None] >> shifts[None, :]) & one).astype(np.int8)
-        votes = bits * 2 - 1                                  # (M, 64) in {-1,+1}
+        flat = np.ascontiguousarray(
+            np.concatenate(
+                [values[out_offsets[r] : out_offsets[r + 1]] for r in rows]
+            )
+        )
+        votes = _SIM_LUT[flat.view(np.uint8).reshape(flat.size, 8)].reshape(
+            flat.size, 64
+        )  # (M, 64) int8 in {-1, +1}
         seg_counts = counts[rows]
         starts = np.zeros(len(rows), dtype=np.int64)
         np.cumsum(seg_counts[:-1], out=starts[1:])
-        sums = np.add.reduceat(votes.astype(np.int32), starts, axis=0)
-        code = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        sums = np.add.reduceat(votes, starts, axis=0, dtype=np.int32)
+        code = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
         out[rows] = code
-        del bits, votes, sums, flat
+        del votes, sums, flat
         start = end
     return out
 

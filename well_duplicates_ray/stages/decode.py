@@ -21,10 +21,6 @@ import numpy as np
 import pyarrow as pa
 
 from well_duplicates_ray.config import DedupConfig
-from well_duplicates_ray.functions.phash import (
-    content_sha1,
-    phash_raw_batch,
-)
 
 REQUIRED_SCHEMA = {
     "image_id": pa.string(),
@@ -66,38 +62,63 @@ class DecodePHash:
         self.codecs = {"raw": None}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         import pyarrow.compute as pc
 
-        bufs = batch["bytes"].to_pylist()
+        from well_duplicates_ray.functions.phash import phash_raw_flat
+
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         stored = batch["phash"].to_numpy().astype(np.int64)
 
-        # vectorized decodability screen: fmt=='raw', payload present, and
-        # byte length matching w*h*3 (Arrow kernels, no per-row python)
-        expected = (ws.astype(np.int64) * hs.astype(np.int64) * 3)
-        lens = pc.binary_length(batch["bytes"]).cast(pa.int64())
-        ok = pc.and_(
-            pc.coalesce(pc.equal(lens, pa.array(expected)), pa.scalar(False)),
-            pc.coalesce(pc.equal(batch["fmt"], "raw"), pa.scalar(False)),
+        # the payload column as (flat data buffer, offsets) — ZERO copies
+        # of the encoded bytes; every downstream kernel works off views.
+        col = batch["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = col.cast(pa.large_binary())
+        offs = np.frombuffer(la.buffers()[1], dtype=np.int64)[
+            la.offset : la.offset + len(la) + 1
+        ]
+        data = la.buffers()[2]
+        flat = (
+            np.frombuffer(data, dtype=np.uint8)
+            if data is not None
+            else np.zeros(0, dtype=np.uint8)
         )
-        decode_ok = ok.to_numpy(zero_copy_only=False).astype(bool)
+        starts, ends = offs[:-1], offs[1:]
+        valid = pc.is_valid(la).to_numpy(zero_copy_only=False).astype(bool)
+
+        # vectorized decodability screen: fmt=='raw', payload present, and
+        # byte length matching w*h*3 (no per-row python)
+        expected = ws.astype(np.int64) * hs.astype(np.int64) * 3
+        fmt_raw = pc.coalesce(
+            pc.equal(batch["fmt"], "raw"), pa.scalar(False)
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        decode_ok = valid & fmt_raw & ((ends - starts) == expected)
+
         phash_out = stored.copy()
         raw_idx = np.flatnonzero(decode_ok)
         if raw_idx.size:
-            ph = phash_raw_batch(
-                [bufs[i] for i in raw_idx], ws[raw_idx], hs[raw_idx]
-            ).view(np.int64)
-            phash_out[raw_idx] = ph
+            for (w, h) in {(int(ws[i]), int(hs[i])) for i in raw_idx}:
+                grp = raw_idx[(ws[raw_idx] == w) & (hs[raw_idx] == h)]
+                phash_out[grp] = phash_raw_flat(
+                    flat, starts[grp], w, h
+                ).view(np.int64)
         phash_match = phash_out == stored
 
         # null payloads get a UNIQUE per-row sentinel sha: a shared ''
         # would co-bucket unrelated corrupt rows and verify them as
-        # kind='exact' duplicates of each other.
+        # kind='exact' duplicates of each other. Valid rows hash straight
+        # off the flat-buffer views (C-speed, no bytes materialization).
         ids = batch["image_id"].to_pylist()
+        sha1 = hashlib.sha1
         sha = [
-            content_sha1(b) if b is not None else f"invalid:{ids[i]}"
-            for i, b in enumerate(bufs)
+            sha1(flat[starts[i] : ends[i]]).hexdigest()
+            if valid[i]
+            else f"invalid:{ids[i]}"
+            for i in range(len(ids))
         ]
         return pa.table(
             {

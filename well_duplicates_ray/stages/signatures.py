@@ -13,9 +13,11 @@ import numpy as np
 import pyarrow as pa
 
 from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.functions.phash import mix64
 from well_duplicates_ray.functions.text import (
     minhash_params,
     minhash_signatures,
+    oph_minhash_signatures,
     shingle_hashes,
     simhash_from_shingles,
 )
@@ -103,7 +105,12 @@ class MinHashSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         vals, offs = shingle_hashes(batch["caption"], cfg.shingle_k)
-        sig = minhash_signatures(vals, offs, self.a, self.b)
+        if cfg.minhash_mode == "oph":
+            sig = oph_minhash_signatures(
+                vals, offs, cfg.minhash_perms, cfg.seed, mix64
+            )
+        else:
+            sig = minhash_signatures(vals, offs, self.a, self.b)
         sim = simhash_from_shingles(vals, offs)
         n_shingles = np.diff(offs).astype(np.int32)
         minhash_col = pa.FixedSizeListArray.from_arrays(

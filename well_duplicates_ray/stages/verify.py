@@ -11,7 +11,8 @@ predicates to every candidate pair, cheapest first:
                  the reference's per-level attribution R10)
   jaccard        exact byte-shingle Jaccard >= threshold (not the MinHash
                  estimate — determinism + oracle parity)
-  substring      suffix-array longest-common-substring >= substring_min_len
+  substring      common substring >= substring_min_len, decided exactly as
+                 L-gram set intersection (equivalent to LCS >= L)
 
 Feature attachment (G14) has two strategies:
 - broadcast: the narrow feature table is ``ray.put`` once and read by
@@ -30,12 +31,10 @@ import ray.data
 
 from well_duplicates_ray.config import DedupConfig
 from well_duplicates_ray.functions.phash import hamming64
-from well_duplicates_ray.functions.suffix import longest_common_substring_len
 from well_duplicates_ray.functions.text import (
     pairwise_intersection_counts,
     segment_unique,
     shingle_hashes,
-    winnow_fingerprints,
 )
 
 FEATURE_COLS = ["node", "caption", "phash", "content_sha"]
@@ -99,27 +98,28 @@ def verify_enriched_batch(
         jac_dup = (na > 0) & (nb > 0) & (j >= cfg.jaccard_threshold)
         kind[undecided[jac_dup]] = "jaccard"
 
-        # winnowing guarantee screen: LCS >= L implies a shared selected
-        # fingerprint; the O(n log n) suffix-array LCS runs only on pairs
-        # that share one (and aren't already decided)
+        # exact substring predicate, fully vectorized: LCS(a, b) >= L iff
+        # a and b share an L-byte gram (any common substring of length
+        # >= L contains one; an L-gram IS one), so the predicate is an
+        # L-gram rolling-hash set intersection — the same segment
+        # machinery as the Jaccard pass, and byte-for-byte the
+        # brute-force oracle's own definition (tests/oracle.py builds
+        # length-L substring sets and tests disjointness). This replaced
+        # a per-pair python suffix-array LCS loop that dominated the
+        # verify stage (~3 s/batch at sf0.1, round-2 stage probe); the
+        # suffix-array kernel remains in functions/suffix.py as the
+        # standalone G12 op.
         rest = np.flatnonzero(~jac_dup)
         if rest.size:
-            fav, fao = segment_unique(
-                *winnow_fingerprints(arr_a.take(pa.array(rest)),
-                                     cfg.winnow_gram, cfg.winnow_window)
-            )
-            fbv, fbo = segment_unique(
-                *winnow_fingerprints(arr_b.take(pa.array(rest)),
-                                     cfg.winnow_gram, cfg.winnow_window)
-            )
-            fp_hit = pairwise_intersection_counts(fav, fao, fbv, fbo) > 0
             L = cfg.substring_min_len
-            for k in np.flatnonzero(fp_hit):
-                i = undecided[rest[k]]
-                ca = arr_a[int(rest[k])].as_py() or ""
-                cb = arr_b[int(rest[k])].as_py() or ""
-                if longest_common_substring_len(ca.encode(), cb.encode()) >= L:
-                    kind[i] = "substring"
+            gav, gao = segment_unique(
+                *shingle_hashes(arr_a.take(pa.array(rest)), L)
+            )
+            gbv, gbo = segment_unique(
+                *shingle_hashes(arr_b.take(pa.array(rest)), L)
+            )
+            hit = pairwise_intersection_counts(gav, gao, gbv, gbo) > 0
+            kind[undecided[rest[hit]]] = "substring"
 
     return pa.table(
         {
@@ -206,11 +206,15 @@ def verify_pairs(
         # answers with a worker-spawn storm; an AUTOSCALING pool ramps up
         # too slowly and serializes the stage. Safe because the pair set
         # is always materialized before this stage (dedupe_pairs).
+        # Pool size tracks the cluster: a fixed 8 capped this stage at
+        # 8-way parallelism on a 32-CPU node (round-2 stage probe).
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        pool = max(2, min(cfg.decode_concurrency, ncpu))
         return pairs.map_batches(
             BroadcastVerifier,
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=min(8, cfg.decode_concurrency),
+            concurrency=pool,
             fn_constructor_args=(cfg.to_dict(), feats_ref),
         )
     enriched = attach_features_shuffle(pairs, feats.select_columns(cols),
