@@ -32,6 +32,11 @@ class DedupConfig:
     lsh_bands: int = 32           # b
     lsh_rows: int = 4             # r ; b*r == minhash_perms
     jaccard_threshold: float = 0.7
+    screen_margin: float = 0.16   # verify skips exact Jaccard for pairs
+                                  # whose MinHash-estimate is more than
+                                  # this below the threshold (boundary
+                                  # miss prob ~3.7e-5 at P=128; raise to
+                                  # 1.0 to disable the screen)
     # recall at s = 1-(1-s^r)^b : s=0.7 -> 0.9998 with (b=32, r=4).
     # (b=16, r=8) would give only ~0.61 at s=0.7 — insufficient for the
     # >=0.99 dup-pair recall requirement, hence r=4.
@@ -70,6 +75,9 @@ class DedupConfig:
     # --- execution -------------------------------------------------------
     seed: int = 42
     batch_size: int = 4096
+    verify_batch_size: int = 16384  # pairs/batch in verify: the indexed
+                                    # verifier is pure gathers, so bigger
+                                    # batches amortize dispatch overhead
     decode_concurrency: int = 16  # actor-pool max size for decode/verify
                                   # pools (autoscaling (1, N); the scheduler
                                   # caps at available CPUs)

@@ -61,9 +61,14 @@ def _rolling_hash(flat: np.ndarray, k: int) -> np.ndarray:
     m = n - k + 1
     if m <= 0:
         return np.zeros(0, dtype=np.uint64)
-    acc = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        acc = acc * _B + flat[j : j + m].astype(np.uint64)
+    # one uint64 cast of the buffer, then in-place multiply-add passes:
+    # the k-temporaries-per-pass version spent more time in fresh-page
+    # zeroing than in arithmetic on this VM
+    f64 = flat.astype(np.uint64)
+    acc = f64[:m].copy()
+    for j in range(1, k):
+        acc *= _B
+        acc += f64[j : j + m]
     # finalize so nearby windows decorrelate across the full 64 bits
     acc ^= acc >> np.uint64(33)
     acc *= np.uint64(0xFF51AFD7ED558CCD)
@@ -374,6 +379,22 @@ def segment_unique(
     out_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=out_offsets[1:])
     return v, out_offsets
+
+
+def gather_segments(
+    values: np.ndarray, offsets: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize segments ``idx`` of a flat (values, offsets) layout as a
+    new flat layout — the expansion step that lets per-UNIQUE-document
+    shingle sets (computed once) serve many pairs. Vectorized gather."""
+    idx = np.asarray(idx, dtype=np.int64)
+    counts = offsets[idx + 1] - offsets[idx]
+    out_offsets = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+    if out_offsets[-1] == 0:
+        return np.zeros(0, dtype=values.dtype), out_offsets
+    pos = np.repeat(offsets[idx], counts) + _segment_arange(counts)
+    return values[pos], out_offsets
 
 
 def pairwise_intersection_counts(

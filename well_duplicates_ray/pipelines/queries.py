@@ -897,13 +897,13 @@ def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
     # dedupe BEFORE verification: the same true pair collides in several
-    # bands, and the vector attach must ship each pair's vectors once
-    pairs = (
-        joined.map_batches(order_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
-    )
+    # bands, and the vector attach must ship each pair's vectors once.
+    # dedupe_pairs is size-gated: batch-local distinct, then driver Arrow
+    # group_by under the gate / hash-shuffle groupby above it (a full
+    # sort-based multi-key ray groupby took 22 s on 345k pairs here).
+    from well_duplicates_ray.stages.candidates import dedupe_pairs
+
+    pairs = dedupe_pairs(joined.map_batches(order_pairs, batch_format="pyarrow"))
 
     if n_emb <= EMB_BROADCAST_GATE:
         # small-side fast path: broadcast the sorted (ids, unit matrix)

@@ -32,12 +32,76 @@ import ray.data
 from well_duplicates_ray.config import DedupConfig
 from well_duplicates_ray.functions.phash import hamming64
 from well_duplicates_ray.functions.text import (
+    gather_segments,
     pairwise_intersection_counts,
     segment_unique,
     shingle_hashes,
+    winnow_fingerprints,
 )
 
-FEATURE_COLS = ["node", "caption", "phash", "content_sha"]
+FEATURE_COLS = ["node", "caption", "phash", "content_sha", "minhash"]
+
+
+def _as_array(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _doc_sets_of(cap: pa.Array, cfg: DedupConfig) -> dict:
+    return {
+        "s": segment_unique(*shingle_hashes(cap, cfg.shingle_k)),
+        "w": segment_unique(
+            *winnow_fingerprints(cap, cfg.winnow_gram, cfg.winnow_window)
+        ),
+        "g": segment_unique(*shingle_hashes(cap, cfg.substring_min_len)),
+    }
+
+
+@ray.remote
+def _doc_sets_shard(cap: pa.Array, cfg_dict: dict) -> dict:
+    return _doc_sets_of(cap, DedupConfig.from_dict(cfg_dict))
+
+
+def build_doc_sets(feats: pa.Table, cfg: DedupConfig) -> dict:
+    """Per-document sorted-unique hash sets for the verify predicates:
+    byte shingles (exact Jaccard), winnow fingerprints (substring screen),
+    L-grams (exact substring decision). Each is a flat (values, offsets)
+    segment layout indexed by feature-row position.
+
+    Documents are independent, so the build fans out over row-range
+    shards as Ray tasks and reconcatenates (a single-threaded build was
+    ~12 s of driver time at n=60k — the verify stage's serial floor)."""
+    cap = _as_array(feats["caption"]).fill_null("")
+    n = len(cap)
+    shard = 16384
+    if n <= shard or not ray.is_initialized():
+        return _doc_sets_of(cap, cfg)
+    cfg_d = cfg.to_dict()
+    futs = [
+        _doc_sets_shard.remote(cap.slice(s, shard), cfg_d)
+        for s in range(0, n, shard)
+    ]
+    parts = ray.get(futs)
+    out = {}
+    for k in ("s", "w", "g"):
+        vals = np.concatenate([p[k][0] for p in parts])
+        offs = np.zeros(n + 1, dtype=np.int64)
+        pos, base = 1, 0
+        for p in parts:
+            o = p[k][1]
+            offs[pos : pos + len(o) - 1] = o[1:] + base
+            pos += len(o) - 1
+            base += o[-1]
+        out[k] = (vals, offs)
+    return out
+
+
+def _sig_matrix(col, n: int) -> np.ndarray | None:
+    """(n, P) uint64 view of a fixed_size_list<int64> signature column."""
+    arr = _as_array(col)
+    if arr.null_count:
+        return None  # unresolved side: skip the screen, stay exact
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return vals.view(np.uint64).reshape(n, -1)
 
 
 def verify_enriched_batch(
@@ -77,49 +141,82 @@ def verify_enriched_batch(
 
     undecided = np.flatnonzero(kind == "")
     if undecided.size:
-        # Fully vectorized undecided path: per-pair exact Jaccard and
-        # fingerprint screen via segment sort/merge counting — no python
-        # sets, no per-caption cache (per-batch set construction cost
-        # ~300 core-seconds at n=60k before this).
+        # Undecided path, organized around UNIQUE captions: pairs massively
+        # reuse documents (a doc sits in hundreds of candidate pairs per
+        # batch), so every per-document kernel (shingles, winnow grams,
+        # L-grams) runs once per distinct caption and pairs only pay the
+        # per-pair set-intersection merge. Two exactness-preserving
+        # screens bound that merge work:
+        #   1. MinHash-estimate screen before exact Jaccard — a pair whose
+        #      P=128 signature agreement is >= screen_margin BELOW the
+        #      threshold cannot plausibly pass it (Chernoff: miss prob
+        #      ~3.7e-5 at the boundary with margin 0.16; margin is config,
+        #      screen only runs when signature columns are attached).
+        #   2. Winnowing screen before the L-gram pass — LCS >= L implies
+        #      a shared winnowed fingerprint (SIGMOD'03 guarantee), and
+        #      fingerprints are ~window-times sparser than L-grams.
+        # Every emitted edge still carries its EXACT Jaccard; "substring"
+        # is decided by exact L-gram set intersection (== LCS >= L).
         und = pa.array(undecided)
-        arr_a = batch["caption_a"].take(und)
-        arr_b = batch["caption_b"].take(und)
+        m = undecided.size
+        arr_a = _as_array(batch["caption_a"].take(und)).fill_null("")
+        arr_b = _as_array(batch["caption_b"].take(und)).fill_null("")
+        enc = pa.concat_arrays(
+            [arr_a.cast(pa.string()), arr_b.cast(pa.string())]
+        ).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        ca, cb = codes[:m], codes[m:]
 
-        # exact Jaccard over unique byte shingles, all pairs at once
-        sav, sao = segment_unique(*shingle_hashes(arr_a, cfg.shingle_k))
-        sbv, sbo = segment_unique(*shingle_hashes(arr_b, cfg.shingle_k))
-        na = np.diff(sao)
-        nb = np.diff(sbo)
-        inter = pairwise_intersection_counts(sav, sao, sbv, sbo)
-        union = na + nb - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        jac[undecided] = np.where((na > 0) & (nb > 0), j, -1.0)
-        jac_dup = (na > 0) & (nb > 0) & (j >= cfg.jaccard_threshold)
-        kind[undecided[jac_dup]] = "jaccard"
+        suv, suo = segment_unique(*shingle_hashes(uniq, cfg.shingle_k))
+        n_u = np.diff(suo)
+        na, nb = n_u[ca], n_u[cb]
+        nonempty = (na > 0) & (nb > 0)
 
-        # exact substring predicate, fully vectorized: LCS(a, b) >= L iff
-        # a and b share an L-byte gram (any common substring of length
-        # >= L contains one; an L-gram IS one), so the predicate is an
-        # L-gram rolling-hash set intersection — the same segment
-        # machinery as the Jaccard pass, and byte-for-byte the
-        # brute-force oracle's own definition (tests/oracle.py builds
-        # length-L substring sets and tests disjointness). This replaced
-        # a per-pair python suffix-array LCS loop that dominated the
-        # verify stage (~3 s/batch at sf0.1, round-2 stage probe); the
-        # suffix-array kernel remains in functions/suffix.py as the
-        # standalone G12 op.
-        rest = np.flatnonzero(~jac_dup)
-        if rest.size:
+        # screen 1: MinHash signature agreement (only with sigs attached)
+        jcand = nonempty.copy()
+        if "minhash_a" in batch.column_names:
+            sa = _sig_matrix(batch["minhash_a"].take(und), m)
+            sb = _sig_matrix(batch["minhash_b"].take(und), m)
+            if sa is not None and sb is not None:
+                est = (sa == sb).mean(axis=1)
+                jcand &= est >= cfg.jaccard_threshold - cfg.screen_margin
+
+        # screen 2: winnow fingerprints (also gates the substring pass)
+        wuv, wuo = segment_unique(
+            *winnow_fingerprints(uniq, cfg.winnow_gram, cfg.winnow_window)
+        )
+        wav, wao = gather_segments(wuv, wuo, ca)
+        wbv, wbo = gather_segments(wuv, wuo, cb)
+        whit = pairwise_intersection_counts(wav, wao, wbv, wbo) > 0
+
+        # exact Jaccard for every pair that could become an edge
+        idx = np.flatnonzero(jcand | (whit & nonempty))
+        if idx.size:
+            av, ao = gather_segments(suv, suo, ca[idx])
+            bv, bo = gather_segments(suv, suo, cb[idx])
+            inter = pairwise_intersection_counts(av, ao, bv, bo)
+            union = na[idx] + nb[idx] - inter
+            j = inter / np.maximum(union, 1)
+            jac[undecided[idx]] = j
+            jdup = idx[j >= cfg.jaccard_threshold]
+            kind[undecided[jdup]] = "jaccard"
+
+        # exact substring predicate on winnow-screened, still-undecided
+        # pairs: L-gram sets built only for the captions those pairs touch
+        sidx = np.flatnonzero(whit & (kind[undecided] == ""))
+        if sidx.size:
             L = cfg.substring_min_len
-            gav, gao = segment_unique(
-                *shingle_hashes(arr_a.take(pa.array(rest)), L)
+            used = np.unique(np.concatenate([ca[sidx], cb[sidx]]))
+            remap = np.full(len(uniq), -1, dtype=np.int64)
+            remap[used] = np.arange(used.size)
+            guv, guo = segment_unique(
+                *shingle_hashes(uniq.take(pa.array(used)), L)
             )
-            gbv, gbo = segment_unique(
-                *shingle_hashes(arr_b.take(pa.array(rest)), L)
-            )
+            gav, gao = gather_segments(guv, guo, remap[ca[sidx]])
+            gbv, gbo = gather_segments(guv, guo, remap[cb[sidx]])
             hit = pairwise_intersection_counts(gav, gao, gbv, gbo) > 0
-            kind[undecided[rest[hit]]] = "substring"
+            kind[undecided[sidx[hit]]] = "substring"
 
     return pa.table(
         {
@@ -135,40 +232,126 @@ def verify_enriched_batch(
 
 class BroadcastVerifier:
     """Actor-pool verifier: features are fetched once per actor from the
-    object store (``ray.put`` broadcast — SURVEY.md G14 small-side path)."""
+    object store (``ray.put`` broadcast — SURVEY.md G14 small-side path).
 
-    def __init__(self, cfg: dict, feats_ref):
+    ``__init__`` precomputes every per-document structure ONCE per actor —
+    sorted-unique shingle sets, winnow fingerprint sets, L-gram sets, and
+    the (n, P) signature matrix. A document sits in hundreds of candidate
+    pairs, so per-batch work collapses to Arrow hash lookups plus numpy
+    gathers and segment-merge intersections; no rolling hash ever runs in
+    ``__call__`` (per-batch recompute of these sets was the verify stage's
+    dominant cost at sf0.1 — ~2 s per 4096-pair batch)."""
+
+    def __init__(self, cfg: dict, feats_ref, sets_ref):
         self.cfg = DedupConfig.from_dict(cfg)
-        # zero-copy from plasma: all actors on a node SHARE this table's
-        # buffers; init builds no python-side structures (a 60k-entry dict
-        # per actor was the old verify bottleneck)
+        # zero-copy from plasma: all actors on a node SHARE the feature
+        # table's buffers AND the precomputed per-doc set arrays (built
+        # ONCE on the driver by build_doc_sets — rebuilding them per actor
+        # cost ~11 s x pool-size of serialized fresh-page allocation at
+        # n=60k). Init does views only, no kernel runs.
         feats: pa.Table = ray.get(feats_ref)
-        self.feats = feats  # zero-copy; driver combined chunks already
-        self.ids = feats["node"].combine_chunks()
-        self.has_phash = "phash" in feats.column_names
-
-    def _take(self, col: str, pos) -> pa.Array:
-        out = self.feats[col].take(pos)
-        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+        self.ids = _as_array(feats["node"])
+        self.sha = _as_array(feats["content_sha"])
+        # raw (nullable) captions decide equality — null == anything is NOT
+        # a dup
+        self.cap_raw = _as_array(feats["caption"])
+        n = len(self.ids)
+        self.phash = (
+            _as_array(feats["phash"]).to_numpy().astype(np.int64).view(np.uint64)
+            if "phash" in feats.column_names
+            else None
+        )
+        self.sig = (
+            _sig_matrix(feats["minhash"], n)
+            if "minhash" in feats.column_names
+            else None
+        )
+        sets = ray.get(sets_ref)
+        self.sset = sets["s"]
+        self.wset = sets["w"]
+        self.gset = sets["g"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        cfg = self.cfg
+        n = batch.num_rows
         # vectorized hash lookup in Arrow C++ (no python dict)
         pos_a = pc.index_in(batch["a"], value_set=self.ids)
         pos_b = pc.index_in(batch["b"], value_set=self.ids)
-        cols = {
-            "a": batch["a"],
-            "b": batch["b"],
-            "caption_a": self._take("caption", pos_a),
-            "caption_b": self._take("caption", pos_b),
-            "sha_a": self._take("content_sha", pos_a),
-            "sha_b": self._take("content_sha", pos_b),
-        }
-        if self.has_phash:
-            cols["phash_a"] = self._take("phash", pos_a)
-            cols["phash_b"] = self._take("phash", pos_b)
-        return verify_enriched_batch(pa.table(cols), self.cfg)
+        ia = pos_a.to_numpy(zero_copy_only=False)
+        ib = pos_b.to_numpy(zero_copy_only=False)
+        known = ~(pc.is_null(pos_a).to_numpy(zero_copy_only=False)
+                  | pc.is_null(pos_b).to_numpy(zero_copy_only=False))
+        ia = np.where(known, ia, 0).astype(np.int64)
+        ib = np.where(known, ib, 0).astype(np.int64)
+
+        if self.phash is not None:
+            ring = np.minimum(
+                hamming64(self.phash[ia], self.phash[ib]), 127
+            ).astype(np.int8)
+            ring[~known] = -1
+        else:
+            ring = np.full(n, -1, dtype=np.int8)
+        kind = np.full(n, "", dtype=object)
+        jac = np.full(n, -1.0)
+
+        sha_eq = pc.fill_null(
+            pc.equal(self.sha.take(pos_a), self.sha.take(pos_b)), False
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        cap_eq = pc.fill_null(
+            pc.equal(self.cap_raw.take(pos_a), self.cap_raw.take(pos_b)), False
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        kind[(ring >= 0) & (ring <= cfg.phash_radius)] = "phash"
+        kind[cap_eq & known] = "exact_caption"
+        kind[sha_eq & known] = "exact"
+
+        und = np.flatnonzero((kind == "") & known)
+        if und.size:
+            ca, cb = ia[und], ib[und]
+            suv, suo = self.sset
+            n_u = np.diff(suo)
+            na, nb = n_u[ca], n_u[cb]
+            nonempty = (na > 0) & (nb > 0)
+
+            jcand = nonempty.copy()
+            if self.sig is not None:
+                est = (self.sig[ca] == self.sig[cb]).mean(axis=1)
+                jcand &= est >= cfg.jaccard_threshold - cfg.screen_margin
+
+            wuv, wuo = self.wset
+            wav, wao = gather_segments(wuv, wuo, ca)
+            wbv, wbo = gather_segments(wuv, wuo, cb)
+            whit = pairwise_intersection_counts(wav, wao, wbv, wbo) > 0
+
+            idx = np.flatnonzero(jcand | (whit & nonempty))
+            if idx.size:
+                av, ao = gather_segments(suv, suo, ca[idx])
+                bv, bo = gather_segments(suv, suo, cb[idx])
+                inter = pairwise_intersection_counts(av, ao, bv, bo)
+                union = na[idx] + nb[idx] - inter
+                j = inter / np.maximum(union, 1)
+                jac[und[idx]] = j
+                kind[und[idx[j >= cfg.jaccard_threshold]]] = "jaccard"
+
+            sidx = np.flatnonzero(whit & (kind[und] == ""))
+            if sidx.size:
+                guv, guo = self.gset
+                gav, gao = gather_segments(guv, guo, ca[sidx])
+                gbv, gbo = gather_segments(guv, guo, cb[sidx])
+                hit = pairwise_intersection_counts(gav, gao, gbv, gbo) > 0
+                kind[und[sidx[hit]]] = "substring"
+
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "is_dup": pa.array(kind != ""),
+                "kind": pa.array(kind, pa.string()),
+                "ring": pa.array(ring),
+                "jaccard": pa.array(jac),
+            }
+        )
 
 
 def attach_features_shuffle(
@@ -184,6 +367,9 @@ def attach_features_shuffle(
     if "phash" in present:
         ren_a["phash"] = "phash_a"
         ren_b["phash"] = "phash_b"
+    if "minhash" in present:
+        ren_a["minhash"] = "minhash_a"
+        ren_b["minhash"] = "minhash_b"
     out = pairs.join(feats.rename_columns(ren_a), "inner", num_partitions, on=("a",))
     return out.join(feats.rename_columns(ren_b), "inner", num_partitions, on=("b",))
 
@@ -199,7 +385,12 @@ def verify_pairs(
     present = set(feats.schema().names)
     cols = [c for c in FEATURE_COLS if c in present]
     if n_feature_rows <= cfg.broadcast_threshold:
-        feats_ref = ray.put(_collect(feats.select_columns(cols)).combine_chunks())
+        tbl = _collect(feats.select_columns(cols)).combine_chunks()
+        feats_ref = ray.put(tbl)
+        # per-doc shingle/winnow/L-gram sets: computed once here on the
+        # driver (the broadcast path is size-gated, so this is bounded
+        # O(small-side) work), shared zero-copy by every verifier actor
+        sets_ref = ray.put(build_doc_sets(tbl, cfg))
         # FIXED-size actor pool: each actor resolves the broadcast once in
         # __init__ (zero-copy plasma). A task-based variant ray.get()s
         # inside tasks, which the raylet treats as blocked workers and
@@ -213,9 +404,9 @@ def verify_pairs(
         return pairs.map_batches(
             BroadcastVerifier,
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=cfg.verify_batch_size,
             concurrency=pool,
-            fn_constructor_args=(cfg.to_dict(), feats_ref),
+            fn_constructor_args=(cfg.to_dict(), feats_ref, sets_ref),
         )
     enriched = attach_features_shuffle(pairs, feats.select_columns(cols),
                                        num_partitions)
