@@ -75,6 +75,12 @@ class DedupConfig:
     # --- execution -------------------------------------------------------
     seed: int = 42
     batch_size: int = 4096
+    feature_batch_size: int = 1024  # rows/batch in the fused
+                                    # read+decode+sketch stage: sized so
+                                    # task count comfortably exceeds CPU
+                                    # count (4096 capped the stage at 15
+                                    # tasks for 60k rows) while a batch of
+                                    # decoded 64x64 pixels stays ~13 MB
     verify_batch_size: int = 16384  # pairs/batch in verify: the indexed
                                     # verifier is pure gathers, so bigger
                                     # batches amortize dispatch overhead

@@ -219,13 +219,31 @@ def _with_shared_run(rng, vocab, caption: str, cfg: DedupConfig) -> str:
 def write_images_parquet(path: str, n: int, seed: int = 42,
                          cfg: DedupConfig = DEFAULT_CONFIG,
                          size: int = IMG_W,
-                         row_group_size: int | None = None) -> pa.Table:
-    """Write the fixture table (and its truth pairs alongside) to parquet."""
+                         row_group_size: int | None = None,
+                         num_files: int = 1) -> pa.Table:
+    """Write the fixture table (and its truth pairs alongside) to parquet.
+
+    ``num_files > 1`` writes a DIRECTORY of part files: files are the
+    read-parallelism atom for ``ray.data.read_parquet`` (one read task
+    per file — a single 60k-row file serialized the whole read into one
+    8-second task), and a partitioned layout is the realistic shape for
+    any at-scale input anyway."""
     import os
     import pyarrow.parquet as pq
 
     images, truth = make_images(n, seed=seed, cfg=cfg, size=size)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(images, path, row_group_size=row_group_size)
-    pq.write_table(truth, path.replace(".parquet", "") + "_truth.parquet")
+    if num_files > 1:
+        os.makedirs(path, exist_ok=True)
+        per = -(-n // num_files)
+        for i, s in enumerate(range(0, n, per)):
+            pq.write_table(
+                images.slice(s, per),
+                os.path.join(path, f"part-{i:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
+        pq.write_table(truth, path.rstrip("/") + "_truth.parquet")
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(images, path, row_group_size=row_group_size)
+        pq.write_table(truth, path.replace(".parquet", "") + "_truth.parquet")
     return images

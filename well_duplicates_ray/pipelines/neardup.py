@@ -73,7 +73,7 @@ def build_features(
     return images.map_batches(
         make_feature_fn(cfg.to_dict()),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.feature_batch_size,
     )
 
 
@@ -145,15 +145,26 @@ def verified_edges(
     emissions = feats.map_batches(
         lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
     ).materialize()
+    n_emissions = emissions.count()
 
     hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
-                           n_emissions=emissions.count())
+                           n_emissions=n_emissions)
 
-    pairs = cold_pairs(emissions, hot, num_partitions, cfg)
-    hp = hot_pairs(emissions, hot, cfg)
-    if hp is not None:
-        pairs = pairs.union(hp)
-    pairs = dedupe_pairs(pairs)
+    from well_duplicates_ray.stages.candidates import (
+        DRIVER_COUNT_GATE,
+        sharded_pairs,
+    )
+
+    if n_emissions <= DRIVER_COUNT_GATE:
+        # all-gather shard tasks over the materialized emission blocks —
+        # no Ray Data shuffle (see sharded_pairs)
+        pairs = sharded_pairs(emissions, hot, cfg)
+    else:
+        pairs = cold_pairs(emissions, hot, num_partitions, cfg)
+        hp = hot_pairs(emissions, hot, cfg)
+        if hp is not None:
+            pairs = pairs.union(hp)
+        pairs = dedupe_pairs(pairs)
 
     verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions)
     edges = verified.map_batches(
@@ -168,11 +179,12 @@ def clusters_from_edges(
     num_partitions: int,
     cfg: DedupConfig,
     id_template: str = "img{:08d}",
+    n_nodes: int | None = None,
 ) -> ray.data.Dataset:
     """Iterative min-label components over verified edges -> cluster table."""
     comp = connected_components(
         edges.select_columns(["a", "b"]), nodes, num_partitions,
-        driver_threshold=cfg.broadcast_threshold,
+        driver_threshold=cfg.broadcast_threshold, n_nodes=n_nodes,
     )
     return comp.map_batches(
         lambda t: pa.table(
@@ -203,6 +215,6 @@ def _cluster_from_features(
     edges, aux = verified_edges(feats, cfg, num_partitions, n_rows)
     clusters = clusters_from_edges(
         edges, feats.select_columns(["node"]), aux["num_partitions"], cfg,
-        id_template,
+        id_template, n_nodes=n_rows,
     )
     return clusters, {"edges": edges, "n_hot_buckets": aux["n_hot_buckets"]}

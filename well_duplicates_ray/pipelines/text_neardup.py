@@ -90,14 +90,23 @@ def run_text_neardup(
     emissions = feats.map_batches(
         lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
     ).materialize()
+    n_emissions = emissions.count()
     hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
-                           n_emissions=emissions.count())
+                           n_emissions=n_emissions)
 
-    pairs = cold_pairs(emissions, hot, num_partitions, cfg)
-    hp = hot_pairs(emissions, hot, cfg)
-    if hp is not None:
-        pairs = pairs.union(hp)
-    pairs = dedupe_pairs(pairs)
+    from well_duplicates_ray.stages.candidates import (
+        DRIVER_COUNT_GATE,
+        sharded_pairs,
+    )
+
+    if n_emissions <= DRIVER_COUNT_GATE:
+        pairs = sharded_pairs(emissions, hot, cfg)
+    else:
+        pairs = cold_pairs(emissions, hot, num_partitions, cfg)
+        hp = hot_pairs(emissions, hot, cfg)
+        if hp is not None:
+            pairs = pairs.union(hp)
+        pairs = dedupe_pairs(pairs)
 
     verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions)
     edges = verified.map_batches(
@@ -108,7 +117,7 @@ def run_text_neardup(
     nodes = feats.select_columns(["node"])
     comp = connected_components(
         edges_int, nodes, num_partitions,
-        driver_threshold=cfg.broadcast_threshold,
+        driver_threshold=cfg.broadcast_threshold, n_nodes=n_rows,
     )
     clusters = comp.rename_columns({"node": "doc_id"})
     return {

@@ -174,22 +174,32 @@ def find_hot_buckets(
     import ray as _ray
 
     if n_emissions is not None and n_emissions <= DRIVER_COUNT_GATE:
-        cols = [
-            _ray.get(r)["bucket"]
-            for r in emissions.select_columns(["bucket"]).to_arrow_refs()
-        ]
-        vc = pa.chunked_array(
-            [c if isinstance(c, pa.Array) else c.combine_chunks() for c in cols]
-        ).value_counts()
-        import pyarrow.compute as pc_
+        # Parallel two-pass exact count (a single driver-side value_counts
+        # was ~2 s of serial time at 3.7M emissions — a pure constant in
+        # the scaling profile). Shard the block refs over tasks:
+        #   pass 1: per-shard value_counts, keep buckets seen >=2 in that
+        #           shard. SOUND superset of the hot set whenever
+        #           cap >= nshards: a bucket with global count > cap must
+        #           land >=2 in some shard (pigeonhole).
+        #   pass 2: exact global counts for those candidates only
+        #           (vectorized index_in + bincount per shard).
+        refs = emissions.to_arrow_refs()
+        nshards = max(1, min(16, cap, len(refs)))
+        groups = [refs[i::nshards] for i in range(nshards)]
 
-        hot_mask = pc_.greater(vc.field("counts"), cap)
-        hot = dict(
-            zip(
-                vc.field("values").filter(hot_mask).to_pylist(),
-                vc.field("counts").filter(hot_mask).to_pylist(),
-            )
+        cand_refs = [_hot_shard_candidates.remote(g, 2) for g in groups]
+        cands = np.unique(
+            np.concatenate([r for r in _ray.get(cand_refs)]
+                           or [np.zeros(0, np.int64)])
         )
+        hot = {}
+        if cands.size:
+            cands_ref = _ray.put(cands)
+            cnt_refs = [_hot_shard_counts.remote(g, cands_ref) for g in groups]
+            total = np.sum(_ray.get(cnt_refs), axis=0)
+            for b, c in zip(cands[total > cap].tolist(),
+                            total[total > cap].tolist()):
+                hot[int(b)] = int(c)
     else:
         counts = bucket_counts(emissions)
         rows = counts.filter(expr=f"n > {cap}").limit(max_collect + 1).take_all()
@@ -202,8 +212,233 @@ def find_hot_buckets(
     return hot
 
 
+def _bucket_col(tables) -> pa.ChunkedArray:
+    return pa.chunked_array(
+        [t["bucket"] if isinstance(t["bucket"], pa.Array)
+         else t["bucket"].combine_chunks() for t in tables if t.num_rows]
+        or [pa.array([], pa.int64())]
+    )
+
+
+@ray.remote
+def _hot_shard_candidates(refs, min_count: int) -> np.ndarray:
+    # refs arrive as a LIST of block ObjectRefs (not auto-resolved):
+    # zero-copy gets inside the task
+    vc = _bucket_col(ray.get(refs)).value_counts()
+    import pyarrow.compute as pc_
+
+    mask = pc_.greater_equal(vc.field("counts"), min_count)
+    return vc.field("values").filter(mask).to_numpy(zero_copy_only=False)
+
+
+@ray.remote
+def _hot_shard_counts(refs, cands: np.ndarray) -> np.ndarray:
+    import pyarrow.compute as pc_
+
+    col = _bucket_col(ray.get(refs))
+    pos = pc_.index_in(col, value_set=pa.array(cands, pa.int64()))
+    pos = pos.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
+    return np.bincount(pos.astype(np.int64), minlength=len(cands))
+
+
 def _pairs_table(a, b) -> pa.Table:
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def _tri_pairs(order_vals: np.ndarray, seg_starts: np.ndarray,
+               seg_sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered index pairs within each segment of a sorted layout,
+    fully vectorized: element at local position p pairs with the p
+    elements before it. Returns (left_pos, right_pos) into order_vals."""
+    from well_duplicates_ray.functions.text import _segment_arange
+
+    local = _segment_arange(seg_sizes)          # local position per element
+    starts_per_el = np.repeat(seg_starts, seg_sizes)
+    right = np.repeat(np.arange(local.size, dtype=np.int64), local)
+    left = np.repeat(starts_per_el, local) + _segment_arange(local)
+    return order_vals[left], order_vals[right]
+
+
+@ray.remote
+def _pairs_shard(refs, shard: int, nshards: int, hot_arr: np.ndarray,
+                 hot_counts: np.ndarray, cfg_dict: dict) -> pa.Table:
+    """Pairs for the buckets hashed to one shard: cold buckets emit all
+    confirmed pairs; hot buckets run the salted sub-bucket logic. Pure
+    numpy over zero-copy plasma reads — no Ray Data shuffle."""
+    from well_duplicates_ray.functions.phash import hamming64
+
+    cfg = DedupConfig.from_dict(cfg_dict)
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return _pairs_table([], [])
+
+    # filter each block to this shard BEFORE concatenating: the per-block
+    # to_numpy views are zero-copy, so the only copies made are the ~1/k
+    # of rows this shard keeps (a full concat per task cost ~0.9 s x k
+    # tasks at 3.7M emissions)
+    parts: list[list[np.ndarray]] = [[], [], [], []]
+    for t in tabs:
+        bk = t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sel = np.flatnonzero(bk % np.uint64(nshards) == shard)
+        if sel.size == 0:
+            continue
+        parts[0].append(bk[sel])
+        parts[1].append(t["node"].to_numpy(zero_copy_only=False)[sel])
+        parts[2].append(t["src"].to_numpy(zero_copy_only=False)[sel])
+        parts[3].append(
+            t["code"].to_numpy(zero_copy_only=False).view(np.uint64)[sel]
+        )
+    if not parts[0]:
+        return _pairs_table([], [])
+    bucket = np.concatenate(parts[0])
+    node = np.concatenate(parts[1]).astype(np.int64, copy=False)
+    src = np.concatenate(parts[2]).astype(np.int8, copy=False)
+    code = np.concatenate(parts[3])
+
+    is_hot = np.zeros(bucket.size, dtype=bool)
+    if hot_arr.size:
+        pos = np.clip(np.searchsorted(hot_arr, bucket.view(np.int64)),
+                      0, hot_arr.size - 1)
+        is_hot = hot_arr[pos] == bucket.view(np.int64)
+
+    out_a, out_b = [], []
+
+    # --- cold buckets: all pairs, per-source confirm ---------------------
+    cb, cn, cs, cc = bucket[~is_hot], node[~is_hot], src[~is_hot], code[~is_hot]
+    if cb.size:
+        order = np.argsort(cb, kind="stable")
+        sb = cb[order]
+        seg = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+        sizes = np.diff(np.r_[seg, sb.size])
+        li, ri = _tri_pairs(order, seg, sizes)
+        nl, nr = cn[li], cn[ri]
+        s = cs[li]
+        ham = hamming64(cc[li], cc[ri])
+        keep = (nl != nr) & (
+            (s == SRC_PLAIN)
+            | (s == SRC_EXACT)
+            | ((s == SRC_PHASH) & (ham <= cfg.phash_radius))
+            | ((s == SRC_SIMHASH) & (ham <= cfg.simhash_radius))
+        )
+        nl, nr = nl[keep], nr[keep]
+        out_a.append(np.minimum(nl, nr))
+        out_b.append(np.maximum(nl, nr))
+
+    # --- hot buckets: salted sub-buckets (same logic as hot_pairs) -------
+    hb, hn, hs = bucket[is_hot], node[is_hot], src[is_hot]
+    if hb.size:
+        sub_target = max(int(np.sqrt(cfg.bucket_pair_cap)), 4)
+        hpos = np.searchsorted(hot_arr, hb.view(np.int64))
+        n_salt = np.maximum(hot_counts[hpos] // sub_target, 2).astype(np.uint64)
+        idh = mix64(hn.view(np.uint64), 7002) % n_salt
+        # sort rows by (bucket, sub-bucket); nodes deduped within segment
+        order = np.lexsort((hn, idh, hb))
+        b_s, i_s, n_s, s_s = hb[order], idh[order], hn[order], hs[order]
+        new_seg = np.r_[True, (b_s[1:] != b_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        uniq_in_seg = np.r_[True, n_s[1:] != n_s[:-1]] | new_seg
+        b_s, i_s, n_s, s_s = (b_s[uniq_in_seg], i_s[uniq_in_seg],
+                              n_s[uniq_in_seg], s_s[uniq_in_seg])
+        seg = np.flatnonzero(np.r_[True, (b_s[1:] != b_s[:-1])
+                                   | (i_s[1:] != i_s[:-1])])
+        sizes = np.diff(np.r_[seg, b_s.size])
+        # nodes are sorted within each (bucket, sub) segment: min = first
+        sub_min = n_s[seg]
+        sub_src = s_s[seg]
+        sub_bucket = b_s[seg]
+        # sketch sub-buckets of sane size: all intra-sub pairs
+        ALL_PAIRS_MAX = 4096
+        allp = (sub_src != SRC_EXACT) & (sizes > 1) & (sizes <= ALL_PAIRS_MAX)
+        if allp.any():
+            el_mask = np.repeat(allp, sizes)
+            # reindex segments within the filtered subset
+            fsizes = sizes[allp]
+            fstarts = np.zeros(fsizes.size, dtype=np.int64)
+            np.cumsum(fsizes[:-1], out=fstarts[1:])
+            la, ra = _tri_pairs(np.flatnonzero(el_mask), fstarts, fsizes)
+            out_a.append(np.minimum(n_s[la], n_s[ra]))
+            out_b.append(np.maximum(n_s[la], n_s[ra]))
+        # star links: members -> sub-minimum (covers EXACT and oversized)
+        star = ~allp & (sizes > 1)
+        if star.any():
+            el_mask = np.repeat(star, sizes)
+            hubs = np.repeat(sub_min[star], sizes[star])
+            members = n_s[el_mask]
+            keep = members != hubs
+            out_a.append(np.minimum(hubs[keep], members[keep]))
+            out_b.append(np.maximum(hubs[keep], members[keep]))
+        # per-bucket star of sub-minima
+        border = np.lexsort((sub_min, sub_bucket))
+        bb, bm = sub_bucket[border], sub_min[border]
+        bseg = np.flatnonzero(np.r_[True, bb[1:] != bb[:-1]])
+        bsizes = np.diff(np.r_[bseg, bb.size])
+        hub2 = np.repeat(bm[bseg], bsizes)
+        keep = bm != hub2
+        out_a.append(np.minimum(hub2[keep], bm[keep]))
+        out_b.append(np.maximum(hub2[keep], bm[keep]))
+
+    if not out_a:
+        return _pairs_table([], [])
+    return _pairs_table(np.concatenate(out_a), np.concatenate(out_b))
+
+
+@ray.remote
+def _dedupe_shard(pair_refs, shard: int, nshards: int) -> pa.Table:
+    """Distinct (a, b) for the pairs hashed to one shard."""
+    tabs = [t for t in ray.get(pair_refs) if t.num_rows]
+    if not tabs:
+        return _pairs_table([], [])
+    pa_, pb_ = [], []
+    for t in tabs:
+        ta = t["a"].to_numpy(zero_copy_only=False)
+        tb = t["b"].to_numpy(zero_copy_only=False)
+        h = mix64(ta.view(np.uint64), 7003) ^ mix64(tb.view(np.uint64), 7004)
+        sel = np.flatnonzero(h % np.uint64(nshards) == shard)
+        if sel.size:
+            pa_.append(ta[sel])
+            pb_.append(tb[sel])
+    if not pa_:
+        return _pairs_table([], [])
+    a = np.concatenate(pa_)
+    b = np.concatenate(pb_)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return _pairs_table(a[keep], b[keep])
+
+
+def sharded_pairs(
+    emissions: ray.data.Dataset,
+    hot: dict[int, int],
+    cfg: DedupConfig,
+    num_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Candidate pairs + dedupe as two waves of all-gather shard tasks
+    (SURVEY.md §4.3): every task reads the materialized emission blocks
+    zero-copy from plasma, keeps its hash shard of buckets (then of
+    pairs), and runs the same vectorized pairing/confirm/salting logic as
+    the join path. No Ray Data shuffle — for emission sets under
+    DRIVER_COUNT_GATE this replaces a hash self-join + groupby dedupe
+    that cost 10-20 s of mostly CPU-count-independent overhead at sf0.1.
+    Above the gate, callers use cold_pairs/hot_pairs/dedupe_pairs (the
+    10^12-scale shuffle path)."""
+    if num_shards is None:
+        # each shard task scans every emission block (zero-copy), so total
+        # scan work grows with the shard count: CPU-count shards balance
+        # scan overhead against downstream verify parallelism
+        num_shards = max(8, min(32, int(ray.cluster_resources().get("CPU", 8))))
+    refs = emissions.to_arrow_refs()
+    hot_arr = np.array(sorted(hot), dtype=np.int64)
+    hot_counts = np.array([hot[int(x)] for x in hot_arr], dtype=np.int64)
+    cfg_d = cfg.to_dict()
+    pair_refs = [
+        _pairs_shard.remote(refs, i, num_shards, hot_arr, hot_counts, cfg_d)
+        for i in range(num_shards)
+    ]
+    dedup_refs = [
+        _dedupe_shard.remote(pair_refs, i, num_shards)
+        for i in range(num_shards)
+    ]
+    return ray.data.from_arrow_refs(dedup_refs)
 
 
 def cold_pairs(

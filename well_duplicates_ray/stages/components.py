@@ -37,6 +37,8 @@ def connected_components(
     num_partitions: int = 16,
     max_rounds: int = 50,
     driver_threshold: int = 2_000_000,
+    n_nodes: int | None = None,
+    n_edges: int | None = None,
 ) -> ray.data.Dataset:
     """edges: (a:int64, b:int64); nodes: (node:int64) including singletons.
 
@@ -46,10 +48,13 @@ def connected_components(
     Size-gated like the verify join (SURVEY.md G14): when the graph is
     provably small (nodes+edges <= driver_threshold) a driver-side DSU is
     exact and avoids ~2 shuffles per propagation round; above the gate the
-    distributed min-label iteration runs (the 10^12-scale path).
+    distributed min-label iteration runs (the 10^12-scale path). Callers
+    that already know the sizes pass them to skip the counting scans.
     """
-    n_nodes = nodes.count()
-    n_edges = edges.count()
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    if n_edges is None:
+        n_edges = edges.count()
     if n_edges == 0:  # no edges: every node is its own component (and the
         # hash-shuffle join cannot run on an empty side)
         return nodes.map_batches(

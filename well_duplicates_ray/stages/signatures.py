@@ -103,6 +103,11 @@ class MinHashSignatures:
         self.a, self.b = minhash_params(self.cfg.minhash_perms, self.cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from well_duplicates_ray.functions.text import (
+            segment_unique,
+            winnow_fingerprints,
+        )
+
         cfg = self.cfg
         vals, offs = shingle_hashes(batch["caption"], cfg.shingle_k)
         if cfg.minhash_mode == "oph":
@@ -116,8 +121,32 @@ class MinHashSignatures:
         minhash_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sig.reshape(-1).view(np.int64)), cfg.minhash_perms
         )
+
+        def lst(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(values.view(np.int64)),
+            )
+
+        # per-document sorted-unique predicate sets, computed HERE in the
+        # distributed feature pass so the verify stage's broadcast setup
+        # is pure zero-copy assembly (stages/verify.py build_doc_sets)
+        sset = segment_unique(vals, offs)
+        wset = segment_unique(
+            *winnow_fingerprints(batch["caption"], cfg.winnow_gram,
+                                 cfg.winnow_window)
+        )
+        gset = segment_unique(
+            *shingle_hashes(batch["caption"], cfg.substring_min_len)
+        )
         return batch.append_column(
             "minhash", minhash_col
         ).append_column(
             "simhash", pa.array(sim.view(np.int64))
-        ).append_column("n_shingles", pa.array(n_shingles))
+        ).append_column(
+            "n_shingles", pa.array(n_shingles)
+        ).append_column(
+            "set_shingle", lst(*sset)
+        ).append_column(
+            "set_winnow", lst(*wset)
+        ).append_column("set_lgram", lst(*gset))

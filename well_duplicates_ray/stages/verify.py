@@ -39,7 +39,10 @@ from well_duplicates_ray.functions.text import (
     winnow_fingerprints,
 )
 
-FEATURE_COLS = ["node", "caption", "phash", "content_sha", "minhash"]
+FEATURE_COLS = [
+    "node", "caption", "phash", "content_sha", "minhash",
+    "set_shingle", "set_winnow", "set_lgram",
+]
 
 
 def _as_array(col) -> pa.Array:
@@ -61,15 +64,33 @@ def _doc_sets_shard(cap: pa.Array, cfg_dict: dict) -> dict:
     return _doc_sets_of(cap, DedupConfig.from_dict(cfg_dict))
 
 
+def _sets_from_list_col(col) -> tuple[np.ndarray, np.ndarray]:
+    arr = _as_array(col)
+    # offsets are kept ABSOLUTE into the child values array (correct for
+    # sliced arrays too); consumers only diff and slice with them
+    values = arr.values.to_numpy(zero_copy_only=False).view(np.uint64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offsets
+
+
 def build_doc_sets(feats: pa.Table, cfg: DedupConfig) -> dict:
     """Per-document sorted-unique hash sets for the verify predicates:
     byte shingles (exact Jaccard), winnow fingerprints (substring screen),
     L-grams (exact substring decision). Each is a flat (values, offsets)
     segment layout indexed by feature-row position.
 
-    Documents are independent, so the build fans out over row-range
-    shards as Ray tasks and reconcatenates (a single-threaded build was
-    ~12 s of driver time at n=60k — the verify stage's serial floor)."""
+    When the feature table already carries the precomputed set columns
+    (set_shingle/set_winnow/set_lgram, emitted by the distributed
+    signature stage under the SAME DedupConfig), assembly is zero-copy
+    views. Otherwise documents are independent, so the build fans out
+    over row-range shards as Ray tasks and reconcatenates (a
+    single-threaded build was ~12 s of driver time at n=60k)."""
+    if "set_shingle" in feats.column_names:
+        return {
+            "s": _sets_from_list_col(feats["set_shingle"]),
+            "w": _sets_from_list_col(feats["set_winnow"]),
+            "g": _sets_from_list_col(feats["set_lgram"]),
+        }
     cap = _as_array(feats["caption"]).fill_null("")
     n = len(cap)
     shard = 16384
@@ -256,20 +277,25 @@ class BroadcastVerifier:
         # a dup
         self.cap_raw = _as_array(feats["caption"])
         n = len(self.ids)
-        self.phash = (
-            _as_array(feats["phash"]).to_numpy().astype(np.int64).view(np.uint64)
-            if "phash" in feats.column_names
-            else None
-        )
-        self.sig = (
-            _sig_matrix(feats["minhash"], n)
-            if "minhash" in feats.column_names
-            else None
-        )
         sets = ray.get(sets_ref)
         self.sset = sets["s"]
         self.wset = sets["w"]
         self.gset = sets["g"]
+        if "ph" in sets:
+            self.phash = sets["ph"]
+        elif "phash" in feats.column_names:
+            self.phash = (
+                _as_array(feats["phash"]).to_numpy().astype(np.int64)
+                .view(np.uint64)
+            )
+        else:
+            self.phash = None
+        if "sig" in sets:
+            self.sig = sets["sig"]
+        elif "minhash" in feats.column_names:
+            self.sig = _sig_matrix(feats["minhash"], n)
+        else:
+            self.sig = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -386,33 +412,61 @@ def verify_pairs(
     cols = [c for c in FEATURE_COLS if c in present]
     if n_feature_rows <= cfg.broadcast_threshold:
         tbl = _collect(feats.select_columns(cols)).combine_chunks()
-        feats_ref = ray.put(tbl)
-        # per-doc shingle/winnow/L-gram sets: computed once here on the
-        # driver (the broadcast path is size-gated, so this is bounded
-        # O(small-side) work), shared zero-copy by every verifier actor
-        sets_ref = ray.put(build_doc_sets(tbl, cfg))
-        # FIXED-size actor pool: each actor resolves the broadcast once in
-        # __init__ (zero-copy plasma). A task-based variant ray.get()s
-        # inside tasks, which the raylet treats as blocked workers and
-        # answers with a worker-spawn storm; an AUTOSCALING pool ramps up
-        # too slowly and serializes the stage. Safe because the pair set
-        # is always materialized before this stage (dedupe_pairs).
-        # Pool size tracks the cluster: a fixed 8 capped this stage at
-        # 8-way parallelism on a 32-CPU node (round-2 stage probe).
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        pool = max(2, min(cfg.decode_concurrency, ncpu))
-        return pairs.map_batches(
-            BroadcastVerifier,
-            batch_format="pyarrow",
-            batch_size=cfg.verify_batch_size,
-            concurrency=pool,
-            fn_constructor_args=(cfg.to_dict(), feats_ref, sets_ref),
+        # split the broadcast into (a) a SLIM Arrow table — only what the
+        # equality predicates / id lookup need — and (b) a numpy state
+        # dict with the per-doc sets, signature matrix and phash codes.
+        # numpy rides plasma zero-copy, and a slim table keeps each
+        # task's first-touch page-fault cost over the shared mapping low.
+        state = dict(build_doc_sets(tbl, cfg))
+        if "minhash" in tbl.column_names:
+            state["sig"] = _sig_matrix(tbl["minhash"], tbl.num_rows)
+        if "phash" in tbl.column_names:
+            state["ph"] = (
+                _as_array(tbl["phash"]).to_numpy().astype(np.int64)
+                .view(np.uint64)
+            )
+        slim = tbl.select(
+            [c for c in ("node", "caption", "content_sha")
+             if c in tbl.column_names]
         )
-    enriched = attach_features_shuffle(pairs, feats.select_columns(cols),
-                                       num_partitions)
+        feats_ref = ray.put(slim)
+        sets_ref = ray.put(state)
+        # one plain Ray task per materialized pair block: verifier setup
+        # is pure zero-copy views (ms), so tasks on already-warm workers
+        # beat an actor pool (pool spawn alone cost seconds per stage,
+        # a pure constant in the scaling profile). Each task starts the
+        # moment its pair block exists — no stage barrier. Refs ride
+        # inside lists so Ray does not inline-resolve them (the ray.get
+        # in __init__ is instant and local).
+        cfg_d = cfg.to_dict()
+        out_refs = [
+            _verify_block.remote(
+                r, [feats_ref], [sets_ref], cfg_d, cfg.verify_batch_size
+            )
+            for r in pairs.to_arrow_refs()
+        ]
+        return ray.data.from_arrow_refs(out_refs)
+    shuffle_cols = [c for c in cols if not c.startswith("set_")]
+    enriched = attach_features_shuffle(
+        pairs, feats.select_columns(shuffle_cols), num_partitions
+    )
     return enriched.map_batches(
         lambda t: verify_enriched_batch(t, cfg), batch_format="pyarrow"
     )
+
+
+@ray.remote
+def _verify_block(
+    pair_tbl: pa.Table, feats_ref, sets_ref, cfg_dict: dict, batch_rows: int
+) -> pa.Table:
+    v = BroadcastVerifier(cfg_dict, feats_ref[0], sets_ref[0])
+    if pair_tbl.num_rows == 0:
+        return v(pair_tbl)
+    outs = [
+        v(pair_tbl.slice(s, batch_rows))
+        for s in range(0, pair_tbl.num_rows, batch_rows)
+    ]
+    return pa.concat_tables(outs)
 
 
 def _collect(ds: ray.data.Dataset) -> pa.Table:
