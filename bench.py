@@ -87,7 +87,7 @@ def _images_for_sf(sf: float) -> tuple[str, int]:
     return path, n
 
 
-def run_bench(sf_dir: str, num_cpus: int) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     import ray
 
     ray.init(
@@ -192,7 +192,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assert n_clustered == n_images, (n_clustered, n_images)
 
     registry = {**SQL_QUERIES, **EXTRA_QUERIES}
-    for name in BENCH_QUERIES:
+    bench_queries = [] if flagship_only else BENCH_QUERIES
+    for name in bench_queries:
         t1 = time.perf_counter()
         res = registry[name](sf_dir)
         if hasattr(res, "count") and not isinstance(res, (list, tuple)):
@@ -224,20 +225,25 @@ def run_scaling(sf_dir: str) -> dict:
     """Fresh processes at N and 4N CPUs on identical input: the sandbox
     evidence for the north_rule's cluster-size scaling criterion.
 
-    Levels via RAY_GRAFT_SCALE_LEVELS (default "8,32"); repetitions via
-    RAY_GRAFT_SCALE_REPS (default 1 — the per-leg MEDIAN is reported with
-    the spread, since this VM's per-CPU capacity fluctuates 0.73-1.0x,
-    BASELINE.md substrate probes)."""
+    Levels via RAY_GRAFT_SCALE_LEVELS (default "4,16" — the host steals
+    up to 22% of per-CPU capacity when all 32 CPUs run, so the 32-CPU
+    leg measures host oversubscription, not the engine; BASELINE.md
+    records the per-process busy-loop ratios and both level pairs).
+    Repetitions via RAY_GRAFT_SCALE_REPS (default 3, interleaved — the
+    per-leg MEDIAN is reported with the spread, since this VM's per-CPU
+    capacity fluctuates with host steal). Each leg runs the flagship
+    ONLY (the scaling criterion is about the headline pipeline; the
+    query sweep would triple each leg's wall time)."""
     _images_for_sf(_sf_of(sf_dir))  # generate cache once, outside timing
     lo_n, hi_n = (
-        int(x) for x in os.environ.get("RAY_GRAFT_SCALE_LEVELS", "8,32").split(",")
+        int(x) for x in os.environ.get("RAY_GRAFT_SCALE_LEVELS", "4,16").split(",")
     )
-    reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "1"))
+    reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "3"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
             env=env,
             capture_output=True,
             text=True,
@@ -247,9 +253,24 @@ def run_scaling(sf_dir: str) -> dict:
 
     import statistics
 
+    import multiprocessing as mp
+
+    def cpu_ratio(n: int) -> float:
+        # host per-process busy-loop ratio at n procs vs 1 proc — the
+        # host's own concurrency ceiling at measurement time (fluctuates
+        # 0.43-1.0 across a day on this VM; BENCH/substrate_r2.json)
+        with mp.Pool(n) as p:
+            rn = sum(p.map(_burn, range(n))) / n
+        with mp.Pool(1) as p:
+            r1 = sum(p.map(_burn, range(1)))
+        return rn / r1
+
     runs_lo, runs_hi = [], []
+    ratios_lo, ratios_hi = [], []
     for _ in range(reps):  # interleave legs so host drift hits both alike
+        ratios_lo.append(cpu_ratio(lo_n))
         runs_lo.append(one(lo_n))
+        ratios_hi.append(cpu_ratio(hi_n))
         runs_hi.append(one(hi_n))
 
     def med(runs, key):
@@ -259,6 +280,11 @@ def run_scaling(sf_dir: str) -> dict:
     t_hi = med(runs_hi, "flagship_neardup_images")
     factor = hi_n / lo_n
     eff = (t_lo / t_hi) / factor
+    r_lo = statistics.median(ratios_lo)
+    r_hi = statistics.median(ratios_hi)
+    # efficiency after removing the host's own oversubscription at the
+    # high leg: what the same engine would measure on an unshared host
+    eff_norm = eff * (r_lo / r_hi) if r_hi > 0 else eff
 
     def spread(runs, key):
         v = [r["queries"][key] for r in runs]
@@ -271,6 +297,9 @@ def run_scaling(sf_dir: str) -> dict:
         "unit": "ratio",
         "levels": [lo_n, hi_n],
         "reps": reps,
+        "host_cpu_ratio_lo": round(r_lo, 3),
+        "host_cpu_ratio_hi": round(r_hi, 3),
+        "efficiency_host_normalized": round(eff_norm, 3),
         f"flagship_sec_{lo_n}cpu": round(t_lo, 3),
         f"flagship_sec_{hi_n}cpu": round(t_hi, 3),
         f"flagship_spread_{lo_n}cpu": spread(runs_lo, "flagship_neardup_images"),
@@ -322,12 +351,16 @@ def run_substrate() -> dict:
         with mp.Pool(n) as p:
             return sum(p.map(_burn, range(n))) / n
 
-    r1, r32 = cpu_rate(1), cpu_rate(32)
+    r1 = cpu_rate(1)
+    ratios = {n: round(cpu_rate(n) / r1, 3) for n in (4, 8, 16, 32)}
     return {
         "metric": "substrate_probes",
         "page_zero_MBps": round(400 / first_touch, 1),
         "warm_rewrite_MBps": round(400 / rewrite, 1),
-        "cpu_scaling_32proc_vs_1": round(r32 / r1, 3),
+        "cpu_scaling_32proc_vs_1": ratios[32],
+        # per-process busy-loop ratio vs 1 process, by process count: the
+        # host's own concurrency ceiling, independent of any engine code
+        "cpu_ratio_by_procs": ratios,
     }
 
 
@@ -340,7 +373,8 @@ def main() -> None:
         print(json.dumps(run_scaling(sf_dir)))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    print(json.dumps(run_bench(sf_dir, num_cpus)))
+    print(json.dumps(run_bench(sf_dir, num_cpus,
+                               flagship_only="--flagship-only" in sys.argv)))
 
 
 if __name__ == "__main__":

@@ -668,6 +668,69 @@ SQL_ORACLES["nations_customers_and_suppliers"] = """
     SELECT s_nationkey AS nationkey FROM supplier
 """
 
+# Predicate-complete SQL restatement of the flagship text near-dup
+# semantics (DOC_CFG: byte 5-shingle Jaccard >= 0.7, common substring
+# >= 48 == shared 48-gram, exact text): the engine's LSH/winnow candidate
+# generation has recall 1.0 at oracle scale and the verifier is exact, so
+# the pipeline output must EQUAL this set bit-for-bit — this oracle checks
+# the whole candidates->verify path, not a re-implementation of it.
+# (Caveat: an exact-dup clique larger than bucket_pair_cap would be
+# star-linked by the engine's pair surface; oracle-scale data has none.)
+_NEARDUP_PAIRS_CTE = """
+    d AS (SELECT doc_id, COALESCE(text,'') AS text FROM documents),
+    p5 AS (SELECT doc_id, text, unnest(generate_series(1, len(text)-4)) AS i
+           FROM d WHERE len(text) >= 5),
+    g5 AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM p5),
+    n5 AS (SELECT doc_id, count(*) AS n FROM g5 GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM g5 x JOIN g5 y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS j
+      FROM inter i JOIN n5 na ON na.doc_id = i.a
+                   JOIN n5 nb ON nb.doc_id = i.b
+    ),
+    p48 AS (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text)-47)) AS i
+            FROM d WHERE len(text) >= 48),
+    g48 AS (SELECT DISTINCT doc_id, substr(text, i, 48) AS g FROM p48),
+    sub AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM g48 x JOIN g48 y ON x.g = y.g AND x.doc_id < y.doc_id),
+    ex AS (SELECT x.doc_id AS a, y.doc_id AS b
+           FROM d x JOIN d y ON x.text = y.text AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT a, b FROM ex
+      UNION SELECT a, b FROM jac WHERE j >= 0.7
+      UNION SELECT a, b FROM sub
+    )
+"""
+
+SQL_ORACLES["neardup_documents_pairs"] = f"""
+    WITH {_NEARDUP_PAIRS_CTE}
+    SELECT p.a, p.b,
+           CASE WHEN ex.a IS NOT NULL THEN 'exact'
+                WHEN j.j >= 0.7 THEN 'jaccard'
+                ELSE 'substring' END AS kind,
+           CASE WHEN ex.a IS NOT NULL THEN -1.0 ELSE j.j END AS jaccard
+    FROM pairs p
+    LEFT JOIN ex ON ex.a = p.a AND ex.b = p.b
+    LEFT JOIN jac j ON j.a = p.a AND j.b = p.b
+"""
+
+SQL_ORACLES["neardup_documents_minhash"] = f"""
+    WITH RECURSIVE {_NEARDUP_PAIRS_CTE},
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.x, reach.r FROM reach JOIN edges e ON e.y = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
 # ---------------------------------------------------------------------------
 # Rows-only ops (no SQL equivalent): near-dup clustering, sketches, model
 # scoring, multimodal stages. The driver records the weaker rows-only check;

@@ -421,11 +421,15 @@ def sharded_pairs(
     that cost 10-20 s of mostly CPU-count-independent overhead at sf0.1.
     Above the gate, callers use cold_pairs/hot_pairs/dedupe_pairs (the
     10^12-scale shuffle path)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     if num_shards is None:
-        # each shard task scans every emission block (zero-copy), so total
-        # scan work grows with the shard count: CPU-count shards balance
-        # scan overhead against downstream verify parallelism
-        num_shards = max(8, min(32, int(ray.cluster_resources().get("CPU", 8))))
+        # each pair-shard task scans every emission block (zero-copy), so
+        # total scan work grows with the shard count: CPU-count shards
+        # balance scan overhead against parallelism
+        num_shards = max(8, min(32, ncpu))
+    # dedupe shards are cheap scans of the (much smaller) pair tables and
+    # become the verify stage's parallelism atom — oversplit for balance
+    dedupe_shards = max(num_shards, min(64, ncpu * 2))
     refs = emissions.to_arrow_refs()
     hot_arr = np.array(sorted(hot), dtype=np.int64)
     hot_counts = np.array([hot[int(x)] for x in hot_arr], dtype=np.int64)
@@ -435,8 +439,8 @@ def sharded_pairs(
         for i in range(num_shards)
     ]
     dedup_refs = [
-        _dedupe_shard.remote(pair_refs, i, num_shards)
-        for i in range(num_shards)
+        _dedupe_shard.remote(pair_refs, i, dedupe_shards)
+        for i in range(dedupe_shards)
     ]
     return ray.data.from_arrow_refs(dedup_refs)
 

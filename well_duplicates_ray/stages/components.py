@@ -130,29 +130,31 @@ def _components_driver_dsu(
             )
         )
     )
-    parent = np.arange(node_arr.size, dtype=np.int64)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
+    # vectorized min-label propagation with pointer jumping: each pass
+    # pulls the smaller label across every edge at once (np.minimum.at),
+    # then halves label-chain depth (label = label[label]); converges in
+    # O(log diameter) passes. Replaces a per-edge python union-find loop
+    # (~1-2 s at 30k edges / 60k nodes — a pure constant in the scaling
+    # profile).
+    label = np.arange(node_arr.size, dtype=np.int64)
+    eia, eib = [], []
     for t in _tables(edges):
-        ia = np.searchsorted(node_arr, t["a"].to_numpy())
-        ib = np.searchsorted(node_arr, t["b"].to_numpy())
-        for x, y in zip(ia.tolist(), ib.tolist()):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                if node_arr[rx] <= node_arr[ry]:
-                    parent[ry] = rx
-                else:
-                    parent[rx] = ry
-    comp = np.empty(node_arr.size, dtype=np.int64)
-    for i in range(node_arr.size):
-        comp[i] = node_arr[find(i)]
+        eia.append(np.searchsorted(node_arr, t["a"].to_numpy()))
+        eib.append(np.searchsorted(node_arr, t["b"].to_numpy()))
+    if eia:
+        ia = np.concatenate(eia)
+        ib = np.concatenate(eib)
+        while True:
+            before = label
+            lab = label.copy()
+            np.minimum.at(lab, ia, label[ib])
+            np.minimum.at(lab, ib, label[ia])
+            lab = lab[lab]  # pointer jump
+            lab = lab[lab]
+            label = lab
+            if np.array_equal(label, before):
+                break
+    comp = node_arr[label]
     return ray.data.from_arrow(
         pa.table({"node": pa.array(node_arr), "component": pa.array(comp)})
     )
