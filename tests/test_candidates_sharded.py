@@ -1,0 +1,74 @@
+"""The sharded all-gather pair path must emit EXACTLY the same deduped
+pair set as the join/groupby path it size-gates (SURVEY.md §4.3; the
+join path is the 10^12-scale route, the sharded path the in-plasma
+fast route — both must be one semantics)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.fixtures import make_images
+from well_duplicates_ray.pipelines.neardup import build_features
+from well_duplicates_ray.stages.candidates import (
+    cold_pairs,
+    dedupe_pairs,
+    emit_bucket_keys,
+    find_hot_buckets,
+    hot_pairs,
+    sharded_pairs,
+)
+
+
+def _pairs_set(ds: ray.data.Dataset) -> set:
+    tabs = [
+        t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows
+    ]
+    if not tabs:
+        return set()
+    tbl = pa.concat_tables(tabs)
+    return set(zip(tbl["a"].to_numpy().tolist(), tbl["b"].to_numpy().tolist()))
+
+
+def test_sharded_pairs_equals_join_path(ray_session):
+    # small cap forces the fixture's HOT_CAPTIONS rows (~15 per hot
+    # caption at n=1500) over the hot threshold, exercising the salted
+    # path; cap stays >= the hot-detection shard count (pigeonhole)
+    cfg = DedupConfig(bucket_pair_cap=8)
+    images, _ = make_images(1500, seed=11, cfg=cfg)
+    feats = build_features(ray.data.from_arrow(images), cfg).materialize()
+    em = feats.map_batches(
+        lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
+    ).materialize()
+    hot = find_hot_buckets(em, cfg.bucket_pair_cap, n_emissions=em.count())
+    assert hot, "fixture must produce hot buckets for this test to bite"
+
+    joined = cold_pairs(em, hot, 4, cfg)
+    hp = hot_pairs(em, hot, cfg)
+    if hp is not None:
+        joined = joined.union(hp)
+    expect = _pairs_set(dedupe_pairs(joined))
+
+    got = _pairs_set(sharded_pairs(em, hot, cfg))
+    assert got == expect
+    # determinism across shard counts
+    got5 = _pairs_set(sharded_pairs(em, hot, cfg, num_shards=5))
+    assert got5 == expect
+
+
+def test_sharded_pairs_empty_emissions(ray_session):
+    cfg = DedupConfig()
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "src": pa.array([], pa.int8()),
+                "code": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out = sharded_pairs(empty, {}, cfg, num_shards=4)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"a", "b"}

@@ -171,3 +171,31 @@ def test_langid_and_quality_rows(ray_session):
     }
     qs = Q.quality_score_documents(SF_DIR).take(10)
     assert all(0.0 <= r["quality"] <= 1.0 for r in qs)
+
+
+def test_ann_ivf_recall_vs_exact(ray_session):
+    """IVF top-k is approximate by construction; pin (a) determinism,
+    (b) schema parity with the exact baseline, (c) recall@k against it.
+    nprobe/nlist give high recall on this corpus; the bound leaves noise
+    margin without letting a broken index pass."""
+    from well_duplicates_ray.pipelines.queries import (
+        ANN_K,
+        ann_topk_cosine,
+        ann_topk_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann_topk_cosine(sf).to_pandas()
+    ivf = ann_topk_ivf(sf).to_pandas()
+    assert list(ivf.columns) == list(exact.columns)
+    ivf2 = ann_topk_ivf(sf).to_pandas()
+    pd.testing.assert_frame_equal(ivf, ivf2)  # deterministic
+
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(truth & got) / min(len(truth), ANN_K))
+    assert np.mean(recalls) >= 0.7, np.mean(recalls)
+    # every returned row must be a genuinely probed, existing vector
+    assert (ivf.groupby("query_id")["rank"].max() <= ANN_K).all()

@@ -142,6 +142,16 @@ def verified_edges(
     if num_partitions is None:
         num_partitions = auto_partitions(n_rows)
 
+    # launch the broadcast-bundle build NOW so it overlaps candidate
+    # generation (it only needs the materialized feature blocks)
+    from well_duplicates_ray.stages.verify import launch_prepare_broadcast
+
+    prepared = (
+        launch_prepare_broadcast(feats, cfg)
+        if n_rows <= cfg.broadcast_threshold
+        else None
+    )
+
     emissions = feats.map_batches(
         lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
     ).materialize()
@@ -166,7 +176,8 @@ def verified_edges(
             pairs = pairs.union(hp)
         pairs = dedupe_pairs(pairs)
 
-    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions)
+    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions,
+                            prepared=prepared)
     edges = verified.map_batches(
         lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
     ).materialize()

@@ -87,6 +87,13 @@ def run_text_neardup(
 
     if num_partitions is None:
         num_partitions = auto_partitions(n_rows)
+    from well_duplicates_ray.stages.verify import launch_prepare_broadcast
+
+    prepared = (
+        launch_prepare_broadcast(feats, cfg)
+        if n_rows <= cfg.broadcast_threshold
+        else None
+    )
     emissions = feats.map_batches(
         lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
     ).materialize()
@@ -108,7 +115,8 @@ def run_text_neardup(
             pairs = pairs.union(hp)
         pairs = dedupe_pairs(pairs)
 
-    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions)
+    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions,
+                            prepared=prepared)
     edges = verified.map_batches(
         lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
     ).materialize()

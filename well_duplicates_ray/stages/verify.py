@@ -263,39 +263,24 @@ class BroadcastVerifier:
     ``__call__`` (per-batch recompute of these sets was the verify stage's
     dominant cost at sf0.1 — ~2 s per 4096-pair batch)."""
 
-    def __init__(self, cfg: dict, feats_ref, sets_ref):
+    def __init__(self, cfg: dict, bundle_ref):
         self.cfg = DedupConfig.from_dict(cfg)
-        # zero-copy from plasma: all actors on a node SHARE the feature
-        # table's buffers AND the precomputed per-doc set arrays (built
-        # ONCE on the driver by build_doc_sets — rebuilding them per actor
-        # cost ~11 s x pool-size of serialized fresh-page allocation at
-        # n=60k). Init does views only, no kernel runs.
-        feats: pa.Table = ray.get(feats_ref)
+        # zero-copy from plasma: every verify task on a node SHARES the
+        # bundle's buffers (built ONCE by prepare_broadcast — rebuilding
+        # the per-doc sets per consumer cost ~11 s x pool-size of
+        # serialized fresh-page allocation at n=60k). Init is views only.
+        bundle: dict = ray.get(bundle_ref)
+        feats: pa.Table = bundle["feats"]
         self.ids = _as_array(feats["node"])
         self.sha = _as_array(feats["content_sha"])
         # raw (nullable) captions decide equality — null == anything is NOT
         # a dup
         self.cap_raw = _as_array(feats["caption"])
-        n = len(self.ids)
-        sets = ray.get(sets_ref)
-        self.sset = sets["s"]
-        self.wset = sets["w"]
-        self.gset = sets["g"]
-        if "ph" in sets:
-            self.phash = sets["ph"]
-        elif "phash" in feats.column_names:
-            self.phash = (
-                _as_array(feats["phash"]).to_numpy().astype(np.int64)
-                .view(np.uint64)
-            )
-        else:
-            self.phash = None
-        if "sig" in sets:
-            self.sig = sets["sig"]
-        elif "minhash" in feats.column_names:
-            self.sig = _sig_matrix(feats["minhash"], n)
-        else:
-            self.sig = None
+        self.sset = bundle["s"]
+        self.wset = bundle["w"]
+        self.gset = bundle["g"]
+        self.phash = bundle.get("ph")
+        self.sig = bundle.get("sig")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -400,48 +385,71 @@ def attach_features_shuffle(
     return out.join(feats.rename_columns(ren_b), "inner", num_partitions, on=("b",))
 
 
+@ray.remote
+def prepare_broadcast(refs, cols: list[str], cfg_dict: dict) -> dict:
+    """Assemble the broadcast verify bundle in a WORKER task so the work
+    overlaps candidate generation instead of blocking the driver: a SLIM
+    Arrow table (what the equality predicates / id lookup need) plus a
+    numpy state dict (per-doc sets, signature matrix, phash codes —
+    plasma zero-copy for every later verify task)."""
+    cfg = DedupConfig.from_dict(cfg_dict)
+    tbl = pa.concat_tables(
+        [t.select(cols) for t in ray.get(refs)]
+    ).combine_chunks()
+    state = dict(build_doc_sets(tbl, cfg))
+    if "minhash" in tbl.column_names:
+        state["sig"] = _sig_matrix(tbl["minhash"], tbl.num_rows)
+    if "phash" in tbl.column_names:
+        state["ph"] = (
+            _as_array(tbl["phash"]).to_numpy().astype(np.int64)
+            .view(np.uint64)
+        )
+    state["feats"] = tbl.select(
+        [c for c in ("node", "caption", "content_sha")
+         if c in tbl.column_names]
+    )
+    return state
+
+
+def launch_prepare_broadcast(feats: ray.data.Dataset, cfg: DedupConfig):
+    """Kick off the broadcast-bundle build for a materialized feature
+    table; returns an ObjectRef the verify stage resolves lazily."""
+    present = set(feats.schema().names)
+    cols = [c for c in FEATURE_COLS if c in present]
+    return prepare_broadcast.remote(feats.to_arrow_refs(), cols, cfg.to_dict())
+
+
 def verify_pairs(
     pairs: ray.data.Dataset,
     feats: ray.data.Dataset,
     cfg: DedupConfig,
     n_feature_rows: int,
     num_partitions: int = 16,
+    prepared=None,
 ) -> ray.data.Dataset:
-    """Dispatch to broadcast or shuffle feature attachment, then verify."""
+    """Dispatch to broadcast or shuffle feature attachment, then verify.
+
+    ``prepared``: optional ObjectRef from launch_prepare_broadcast —
+    callers that know the broadcast gate will pass launch it EARLY so the
+    bundle build overlaps candidate generation."""
     present = set(feats.schema().names)
     cols = [c for c in FEATURE_COLS if c in present]
     if n_feature_rows <= cfg.broadcast_threshold:
-        tbl = _collect(feats.select_columns(cols)).combine_chunks()
-        # split the broadcast into (a) a SLIM Arrow table — only what the
-        # equality predicates / id lookup need — and (b) a numpy state
-        # dict with the per-doc sets, signature matrix and phash codes.
-        # numpy rides plasma zero-copy, and a slim table keeps each
-        # task's first-touch page-fault cost over the shared mapping low.
-        state = dict(build_doc_sets(tbl, cfg))
-        if "minhash" in tbl.column_names:
-            state["sig"] = _sig_matrix(tbl["minhash"], tbl.num_rows)
-        if "phash" in tbl.column_names:
-            state["ph"] = (
-                _as_array(tbl["phash"]).to_numpy().astype(np.int64)
-                .view(np.uint64)
-            )
-        slim = tbl.select(
-            [c for c in ("node", "caption", "content_sha")
-             if c in tbl.column_names]
+        bundle_ref = (
+            prepared
+            if prepared is not None
+            else launch_prepare_broadcast(feats, cfg)
         )
-        feats_ref = ray.put(slim)
-        sets_ref = ray.put(state)
         # one plain Ray task per materialized pair block: verifier setup
         # is pure zero-copy views (ms), so tasks on already-warm workers
         # beat an actor pool (pool spawn alone cost seconds per stage,
         # a pure constant in the scaling profile). Each task starts the
-        # moment its pair block exists — no stage barrier. Refs ride
-        # inside lists so Ray does not inline-resolve them (the ray.get
-        # in __init__ is instant and local).
+        # moment its pair block AND the bundle exist — no stage barrier.
+        # The ref rides inside a list so Ray does not inline-resolve it.
         cfg_d = cfg.to_dict()
         out_refs = [
             _verify_block.remote(
-                r, [feats_ref], [sets_ref], cfg_d, cfg.verify_batch_size
+                r, [bundle_ref], cfg_d, cfg.verify_batch_size
             )
             for r in pairs.to_arrow_refs()
         ]
@@ -457,9 +465,9 @@ def verify_pairs(
 
 @ray.remote
 def _verify_block(
-    pair_tbl: pa.Table, feats_ref, sets_ref, cfg_dict: dict, batch_rows: int
+    pair_tbl: pa.Table, bundle_ref, cfg_dict: dict, batch_rows: int
 ) -> pa.Table:
-    v = BroadcastVerifier(cfg_dict, feats_ref[0], sets_ref[0])
+    v = BroadcastVerifier(cfg_dict, bundle_ref[0])
     if pair_tbl.num_rows == 0:
         return v(pair_tbl)
     outs = [
