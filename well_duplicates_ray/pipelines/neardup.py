@@ -176,11 +176,8 @@ def verified_edges(
             pairs = pairs.union(hp)
         pairs = dedupe_pairs(pairs)
 
-    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions,
-                            prepared=prepared)
-    edges = verified.map_batches(
-        lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
-    ).materialize()
+    edges = verify_pairs(pairs, feats, cfg, n_rows, num_partitions,
+                         prepared=prepared, edges_only=True).materialize()
     return edges, {"n_hot_buckets": len(hot), "num_partitions": num_partitions}
 
 

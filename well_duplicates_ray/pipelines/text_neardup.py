@@ -115,11 +115,8 @@ def run_text_neardup(
             pairs = pairs.union(hp)
         pairs = dedupe_pairs(pairs)
 
-    verified = verify_pairs(pairs, feats, cfg, n_rows, num_partitions,
-                            prepared=prepared)
-    edges = verified.map_batches(
-        lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
-    ).materialize()
+    edges = verify_pairs(pairs, feats, cfg, n_rows, num_partitions,
+                         prepared=prepared, edges_only=True).materialize()
 
     edges_int = edges.select_columns(["a", "b"])
     nodes = feats.select_columns(["node"])

@@ -426,12 +426,15 @@ def verify_pairs(
     n_feature_rows: int,
     num_partitions: int = 16,
     prepared=None,
+    edges_only: bool = False,
 ) -> ray.data.Dataset:
     """Dispatch to broadcast or shuffle feature attachment, then verify.
 
     ``prepared``: optional ObjectRef from launch_prepare_broadcast —
     callers that know the broadcast gate will pass launch it EARLY so the
-    bundle build overlaps candidate generation."""
+    bundle build overlaps candidate generation.
+    ``edges_only``: filter to is_dup rows INSIDE the verify tasks (one
+    fewer dataset op + barrier for pipelines that only consume edges)."""
     present = set(feats.schema().names)
     cols = [c for c in FEATURE_COLS if c in present]
     if n_feature_rows <= cfg.broadcast_threshold:
@@ -449,7 +452,7 @@ def verify_pairs(
         cfg_d = cfg.to_dict()
         out_refs = [
             _verify_block.remote(
-                r, [bundle_ref], cfg_d, cfg.verify_batch_size
+                r, [bundle_ref], cfg_d, cfg.verify_batch_size, edges_only
             )
             for r in pairs.to_arrow_refs()
         ]
@@ -458,23 +461,31 @@ def verify_pairs(
     enriched = attach_features_shuffle(
         pairs, feats.select_columns(shuffle_cols), num_partitions
     )
-    return enriched.map_batches(
+    out = enriched.map_batches(
         lambda t: verify_enriched_batch(t, cfg), batch_format="pyarrow"
     )
+    if edges_only:
+        out = out.map_batches(
+            lambda t: t.filter(t["is_dup"]), batch_format="pyarrow"
+        )
+    return out
 
 
 @ray.remote
 def _verify_block(
-    pair_tbl: pa.Table, bundle_ref, cfg_dict: dict, batch_rows: int
+    pair_tbl: pa.Table, bundle_ref, cfg_dict: dict, batch_rows: int,
+    edges_only: bool = False,
 ) -> pa.Table:
     v = BroadcastVerifier(cfg_dict, bundle_ref[0])
     if pair_tbl.num_rows == 0:
-        return v(pair_tbl)
+        out = v(pair_tbl)
+        return out.filter(out["is_dup"]) if edges_only else out
     outs = [
         v(pair_tbl.slice(s, batch_rows))
         for s in range(0, pair_tbl.num_rows, batch_rows)
     ]
-    return pa.concat_tables(outs)
+    tbl = pa.concat_tables(outs)
+    return tbl.filter(tbl["is_dup"]) if edges_only else tbl
 
 
 def _collect(ds: ray.data.Dataset) -> pa.Table:
