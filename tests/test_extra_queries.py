@@ -199,3 +199,40 @@ def test_ann_ivf_recall_vs_exact(ray_session):
     assert np.mean(recalls) >= 0.7, np.mean(recalls)
     # every returned row must be a genuinely probed, existing vector
     assert (ivf.groupby("query_id")["rank"].max() <= ANN_K).all()
+
+
+def test_video_frame_sample(ray_session):
+    """Frame sampling: k evenly-spaced frames, one row per frame, bytes
+    are exact zero-copy slices of the source payload; non-rawvid fmt
+    raises at the codec seam."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from well_duplicates_ray.pipelines.queries import (
+        _mm_videos_path,
+        video_frame_sample,
+    )
+    from well_duplicates_ray.stages.multimodal import VideoFrameSample
+
+    out = video_frame_sample(SF_DIR).to_pandas()
+    src = pq.read_table(_mm_videos_path()).to_pandas()
+    assert len(out) == len(src) * 4  # k=4 <= n_frames=8
+    by_vid = dict(zip(src["video_id"], zip(src["bytes"], src["w"], src["h"])))
+    for _, r in out.head(40).iterrows():
+        buf, w, h = by_vid[r["video_id"]]
+        fsize = int(w) * int(h) * 3
+        lo = int(r["frame_idx"]) * fsize
+        assert r["bytes"] == buf[lo : lo + fsize]
+        assert r["fmt"] == "raw" and int(r["w"]) == w
+
+    bad = pa.table(
+        {
+            "video_id": pa.array(["x"]),
+            "bytes": pa.array([b"\x00" * 12], pa.binary()),
+            "w": pa.array([2], pa.int32()),
+            "h": pa.array([2], pa.int32()),
+            "fmt": pa.array(["mp4"]),
+        }
+    )
+    with _pytest.raises(NotImplementedError):
+        VideoFrameSample(2)(bad)

@@ -1170,6 +1170,54 @@ def _mm_images_path() -> str:
     return path
 
 
+_VID_N = 100
+_VID_FRAMES = 8
+_VID_WH = 32
+
+
+def _mm_videos_path() -> str:
+    import os
+
+    path = f"/tmp/wd_cache/videos_mm_n{_VID_N}_s13.parquet"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(13)
+        fsize = _VID_WH * _VID_WH * 3
+        bufs = [
+            rng.integers(0, 256, _VID_FRAMES * fsize, dtype=np.uint8).tobytes()
+            for _ in range(_VID_N)
+        ]
+        tbl = pa.table(
+            {
+                "video_id": pa.array([f"vid{i:06d}" for i in range(_VID_N)]),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array([_VID_WH] * _VID_N, pa.int32()),
+                "h": pa.array([_VID_WH] * _VID_N, pa.int32()),
+                "fmt": pa.array(["rawvid"] * _VID_N, pa.string()),
+                "n_frames": pa.array([_VID_FRAMES] * _VID_N, pa.int32()),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+    return path
+
+
+def video_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic k-frame sampling over a (synthetic, seed-pinned)
+    raw-video table — the multimodal frame-sample plumbing (one output
+    row per sampled frame; real containers register an ffmpeg decoder at
+    the same seam). Rows-only at the driver; bytes slicing is pinned by
+    tests/test_extra_queries.py."""
+    from well_duplicates_ray.stages.multimodal import VideoFrameSample
+
+    return ray.data.read_parquet(_mm_videos_path()).map_batches(
+        VideoFrameSample,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        fn_constructor_args=(4,),
+    )
+
+
 def image_resize_16(sf_dir: str) -> ray.data.Dataset:
     """Actor-pool image resize to 16x16 raw RGB (multimodal plumbing;
     fmt='raw' decoded for real, codec fmts raise at the registry seam)."""
@@ -1210,6 +1258,7 @@ EXTRA_QUERIES: dict[str, Callable] = {
     "ann_topk_ivf": ann_topk_ivf,
     "image_resize_16": image_resize_16,
     "image_features": image_features,
+    "video_frame_sample": video_frame_sample,
 }
 
 

@@ -70,6 +70,60 @@ class ImageResize:
         )
 
 
+class VideoFrameSample:
+    """Actor-pool stage: deterministic frame sampling — k evenly-spaced
+    frames per video, ONE OUTPUT ROW PER SAMPLED FRAME (a flat-map-shaped
+    map_batches; downstream stages treat frames as images).
+
+    ``fmt='rawvid'`` payloads are ``n_frames`` raw RGB frames
+    concatenated (n = len(bytes) / (w*h*3)); real containers (mp4/webm)
+    raise at the same codec seam an ffmpeg-backed decoder would register
+    into. Frame extraction is a zero-copy slice of the payload."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid_ids, frame_idx, bufs, ws, hs = [], [], [], [], []
+        for vid, buf, w, h, fmt in zip(
+            batch["video_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["w"].to_pylist(),
+            batch["h"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            if fmt != "rawvid":
+                raise NotImplementedError(
+                    f"no container demuxer for fmt={fmt!r}; register an "
+                    "ffmpeg-backed decoder at this seam"
+                )
+            fsize = int(w) * int(h) * 3
+            n_frames = len(buf) // fsize if fsize else 0
+            if n_frames == 0:
+                continue
+            take = np.unique(
+                np.linspace(0, n_frames - 1, min(self.k, n_frames))
+                .round().astype(np.int64)
+            )
+            for fi in take:
+                vid_ids.append(vid)
+                frame_idx.append(int(fi))
+                bufs.append(buf[fi * fsize : (fi + 1) * fsize])
+                ws.append(int(w))
+                hs.append(int(h))
+        n = len(vid_ids)
+        return pa.table(
+            {
+                "video_id": pa.array(vid_ids, pa.string()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(["raw"] * n, pa.string()),
+            }
+        )
+
+
 class ImageFeatures:
     """Actor-pool stage: per-image features — channel means/stds, luma
     entropy (8-bin), recomputed pHash. Stateless math, stateful-shaped
