@@ -72,3 +72,36 @@ def test_sharded_pairs_empty_emissions(ray_session):
     out = sharded_pairs(empty, {}, cfg, num_shards=4)
     assert out.count() == 0
     assert set(out.schema().names) == {"a", "b"}
+
+
+def test_above_gate_paths_match_broadcast(ray_session):
+    """Force the at-scale routes — shuffle feature-attach verify
+    (broadcast_threshold=0) and the join/groupby pair path
+    (DRIVER_COUNT_GATE=0) — through the full pipeline and require the
+    exact clusters the gated fast paths produce."""
+    import pytest
+
+    from well_duplicates_ray.pipelines import neardup as N
+    from well_duplicates_ray.pipelines.neardup import run_neardup
+    from well_duplicates_ray.stages import candidates as C
+
+    images, _ = make_images(400, seed=9)
+    ds = ray.data.from_arrow(images)
+
+    fast = run_neardup(ds, DedupConfig(), num_partitions=4,
+                       collect_metrics=False)
+    want = {r["image_id"]: r["component"]
+            for r in fast["clusters"].take_all()}
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(C, "DRIVER_COUNT_GATE", 0)
+        mp.setattr(N, "DRIVER_COUNT_GATE", 0, raising=False)
+        slow_cfg = DedupConfig(broadcast_threshold=0)
+        slow = run_neardup(ds, slow_cfg, num_partitions=4,
+                           collect_metrics=False)
+        got = {r["image_id"]: r["component"]
+               for r in slow["clusters"].take_all()}
+    finally:
+        mp.undo()
+    assert got == want

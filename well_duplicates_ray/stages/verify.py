@@ -117,10 +117,18 @@ def build_doc_sets(feats: pa.Table, cfg: DedupConfig) -> dict:
 
 
 def _sig_matrix(col, n: int) -> np.ndarray | None:
-    """(n, P) uint64 view of a fixed_size_list<int64> signature column."""
+    """(n, P) uint64 view of a signature column — fixed_size_list<int64>
+    (native layout) or fixed_size_binary(P*8) (the join-packed layout:
+    acero hash joins reject list-typed non-key fields, so the shuffle
+    attach path ships signatures as binary blobs)."""
     arr = _as_array(col)
     if arr.null_count:
         return None  # unresolved side: skip the screen, stay exact
+    if pa.types.is_fixed_size_binary(arr.type):
+        width = arr.type.byte_width // 8
+        buf = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+        start = arr.offset * width
+        return buf[start : start + n * width].reshape(n, width)
     vals = arr.values.to_numpy(zero_copy_only=False)
     return vals.view(np.uint64).reshape(n, -1)
 
@@ -371,8 +379,25 @@ def attach_features_shuffle(
     num_partitions: int,
 ) -> ray.data.Dataset:
     """Hash-partitioned feature attachment for feature tables too large to
-    broadcast: two joins on image_id (SURVEY.md G14 large-side path)."""
+    broadcast: two joins on image_id (SURVEY.md G14 large-side path).
+    MinHash signatures ride as fixed_size_binary blobs (acero joins
+    reject list-typed non-key fields); the verifier's _sig_matrix reads
+    either layout zero-copy."""
     present = set(feats.schema().names)
+    if "minhash" in present:
+
+        def pack_sig(t: pa.Table) -> pa.Table:
+            mh = _as_array(t["minhash"])
+            width = mh.type.list_size * 8
+            vals = mh.values.to_numpy(zero_copy_only=False)
+            blob = pa.Array.from_buffers(
+                pa.binary(width), len(mh),
+                [None, pa.py_buffer(vals.tobytes())],
+            )
+            i = t.schema.get_field_index("minhash")
+            return t.set_column(i, "minhash", blob)
+
+        feats = feats.map_batches(pack_sig, batch_format="pyarrow")
     ren_a = {"node": "a", "caption": "caption_a", "content_sha": "sha_a"}
     ren_b = {"node": "b", "caption": "caption_b", "content_sha": "sha_b"}
     if "phash" in present:
