@@ -91,3 +91,63 @@ def test_pairwise_intersections_match_sets(a_lists, b_lists):
     got = pairwise_intersection_counts(av, ao, bv, bo)
     want = [len(set(a) & set(b)) for a, b in zip(a_lists, b_lists)]
     assert got.tolist() == want
+
+
+@given(
+    st.lists(st.lists(st.integers(0, 50), max_size=6), min_size=1, max_size=8),
+    st.data(),
+)
+def test_gather_segments_matches_python(segs, data):
+    from well_duplicates_ray.functions.text import gather_segments
+
+    values = np.array([v for s in segs for v in s], dtype=np.uint64)
+    offsets = np.zeros(len(segs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segs], out=offsets[1:])
+    idx = data.draw(
+        st.lists(st.integers(0, len(segs) - 1), max_size=12).map(
+            lambda xs: np.array(xs, dtype=np.int64)
+        )
+    )
+    gv, go = gather_segments(values, offsets, idx)
+    rebuilt = [gv[go[i] : go[i + 1]].tolist() for i in range(len(idx))]
+    assert rebuilt == [segs[i] for i in idx]
+
+
+@given(st.lists(st.integers(1, 6), min_size=1, max_size=6))
+@settings(deadline=None)  # first call pays the ray.data import
+def test_tri_pairs_enumerates_all_unordered_pairs(sizes):
+    from well_duplicates_ray.stages.candidates import _tri_pairs
+
+    sizes = np.array(sizes, dtype=np.int64)
+    starts = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    order = np.arange(int(sizes.sum()), dtype=np.int64) * 10  # any values
+    li, ri = _tri_pairs(order, starts, sizes)
+    got = set(zip(li.tolist(), ri.tolist()))
+    want = set()
+    for s, z in zip(starts, sizes):
+        for i in range(s, s + z):
+            for j in range(i + 1, s + z):
+                want.add((order[i], order[j]))
+    assert got == want and len(li) == sum(z * (z - 1) // 2 for z in sizes)
+
+
+@given(st.lists(st.text(alphabet="abcd ", max_size=40), max_size=6))
+@settings(deadline=None)
+def test_oph_signature_batch_independence(strings):
+    from well_duplicates_ray.config import DedupConfig
+    from well_duplicates_ray.functions.phash import mix64
+    from well_duplicates_ray.functions.text import (
+        oph_minhash_signatures,
+        shingle_hashes,
+    )
+
+    cfg = DedupConfig()
+    vals, offs = shingle_hashes(strings, cfg.shingle_k)
+    sig = oph_minhash_signatures(vals, offs, cfg.minhash_perms, cfg.seed,
+                                 mix64)
+    for i, s in enumerate(strings):
+        v1, o1 = shingle_hashes([s], cfg.shingle_k)
+        solo = oph_minhash_signatures(v1, o1, cfg.minhash_perms, cfg.seed,
+                                      mix64)
+        assert np.array_equal(solo[0], sig[i])
