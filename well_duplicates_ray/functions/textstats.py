@@ -135,18 +135,19 @@ def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     # constants are batch-independent (same text => same fingerprint under
     # any batching) and the length term separates '\x00'+s from s.
     sums = np.zeros(n, dtype=np.uint64)
-    if flat.size > 0 and lens.max(initial=0) > 0:
-        maxlen = int(lens.max())
-        pows = np.empty(maxlen, dtype=np.uint64)
-        pows[0] = 1
-        for k in range(1, maxlen):
-            pows[k] = pows[k - 1] * b
-        data = flat[offsets[0] - base : offsets[-1] - base].astype(np.uint64)
-        ends = np.repeat(offsets[1:] - base, lens)
-        pos = np.arange(data.size, dtype=np.int64)
-        contrib = data * pows[ends - 1 - pos]
-        starts = (offsets[:-1] - base).astype(np.int64)
-        nz = lens > 0
-        sums[nz] = np.add.reduceat(contrib, starts[nz])
-    out = (seed * b + sums) * b + lens.astype(np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        if flat.size > 0 and lens.max(initial=0) > 0:
+            maxlen = int(lens.max())
+            pows = np.empty(maxlen, dtype=np.uint64)
+            pows[0] = 1
+            for k in range(1, maxlen):
+                pows[k] = pows[k - 1] * b
+            data = flat[offsets[0] - base : offsets[-1] - base].astype(np.uint64)
+            ends = np.repeat(offsets[1:] - base, lens)
+            pos = np.arange(data.size, dtype=np.int64)
+            contrib = data * pows[ends - 1 - pos]
+            starts = (offsets[:-1] - base).astype(np.int64)
+            nz = lens > 0
+            sums[nz] = np.add.reduceat(contrib, starts[nz])
+        out = (seed * b + sums) * b + lens.astype(np.uint64)
     return pd.Series(out.view(np.int64), index=texts.index)

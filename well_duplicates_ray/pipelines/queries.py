@@ -830,6 +830,44 @@ SQL_ORACLES["neardup_documents_pairs"] = f"""
     LEFT JOIN jac j ON j.a = p.a AND j.b = p.b
 """
 
+# the rolling fingerprint's uint64 wraparound arithmetic restated in
+# HUGEINT mod-2^64 (engine formula, textstats.py::rolling_fingerprint:
+# h = (seed*B + sum_j byte[j]*B^(len-1-j)) * B + len). ord() == the byte
+# for the ASCII-only documents table; the power table is a recursive CTE.
+_M64 = "18446744073709551616"
+SQL_ORACLES["doc_rolling_fingerprint"] = f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, COALESCE(text,'') AS t FROM documents),
+    pw(k, p) AS (
+      SELECT 0, 1::HUGEINT
+      UNION ALL
+      SELECT k + 1, (p * 1099511628211) % {_M64} FROM pw
+      WHERE k < (SELECT COALESCE(max(len(t)), 1) FROM d)
+    ),
+    chars AS (
+      SELECT doc_id, len(t) AS L, t,
+             unnest(generate_series(1, len(t))) AS i
+      FROM d WHERE len(t) > 0
+    ),
+    contrib AS (
+      SELECT c.doc_id,
+             (ord(substr(c.t, c.i, 1))::HUGEINT * pw.p) % {_M64} AS v
+      FROM chars c JOIN pw ON pw.k = c.L - c.i
+    ),
+    sums AS (SELECT doc_id, SUM(v) % {_M64} AS s FROM contrib GROUP BY doc_id),
+    h AS (
+      SELECT d.doc_id,
+             ((((14695981039346656037::HUGEINT * 1099511628211) % {_M64}
+                + COALESCE(s.s, 0)) % {_M64}) * 1099511628211
+              + len(d.t)) % {_M64} AS hv
+      FROM d LEFT JOIN sums s USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                     THEN hv - {_M64}::HUGEINT ELSE hv END AS BIGINT) AS fp64
+    FROM h
+"""
+
 SQL_ORACLES["neardup_documents_minhash"] = f"""
     WITH RECURSIVE {_NEARDUP_PAIRS_CTE},
     edges AS (SELECT a AS x, b AS y FROM pairs
