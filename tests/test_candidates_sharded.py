@@ -57,6 +57,43 @@ def test_sharded_pairs_equals_join_path(ray_session):
     assert got5 == expect
 
 
+def test_hot_sketch_residual_metric(ray_session):
+    """The sketch-source hot-bucket sampled path must be reported, not
+    invisible (ADVICE r2): find_hot_buckets classifies each hot bucket's
+    source and hot_sketch_residual turns that into a disclosure metric."""
+    from well_duplicates_ray.stages.candidates import (
+        SRC_EXACT,
+        hot_sketch_residual,
+    )
+
+    cfg = DedupConfig(bucket_pair_cap=8)
+    images, _ = make_images(1500, seed=11, cfg=cfg)
+    feats = build_features(ray.data.from_arrow(images), cfg).materialize()
+    em = feats.map_batches(
+        lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
+    ).materialize()
+    hot, srcs = find_hot_buckets(
+        em, cfg.bucket_pair_cap, n_emissions=em.count(), return_srcs=True
+    )
+    assert set(srcs) == set(hot)
+    # the hot-caption fixture makes exact-caption buckets hot (SRC_EXACT)
+    # and their LSH/simhash/winnow buckets hot too (sketch sources)
+    assert any(s == SRC_EXACT for s in srcs.values())
+    assert any(s != SRC_EXACT for s in srcs.values())
+
+    res = hot_sketch_residual(hot, srcs, cfg)
+    assert res["hot_sketch_buckets"] > 0
+    assert res["hot_sketch_members"] > 0
+    assert res["hot_sketch_cross_sub_pairs_est"] > 0
+    # exact-only hot set reports zero residual
+    only_exact = {b: hot[b] for b in hot if srcs[b] == SRC_EXACT}
+    z = hot_sketch_residual(
+        only_exact, {b: SRC_EXACT for b in only_exact}, cfg
+    )
+    assert z["hot_sketch_buckets"] == 0
+    assert z["hot_sketch_cross_sub_pairs_est"] == 0
+
+
 def test_sharded_pairs_empty_emissions(ray_session):
     cfg = DedupConfig()
     empty = ray.data.from_arrow(

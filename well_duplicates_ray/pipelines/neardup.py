@@ -110,7 +110,8 @@ def run_neardup(
     )
     edges = aux["edges"]
 
-    metrics: dict = {"n_rows": n_rows, "n_hot_buckets": aux["n_hot_buckets"]}
+    metrics: dict = {"n_rows": n_rows, "n_hot_buckets": aux["n_hot_buckets"],
+                     **aux.get("hot_residual", {})}
     if collect_metrics:
         kinds = (
             edges.groupby("kind")
@@ -157,11 +158,13 @@ def verified_edges(
     ).materialize()
     n_emissions = emissions.count()
 
-    hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
-                           n_emissions=n_emissions)
+    hot, hot_srcs = find_hot_buckets(emissions, cfg.bucket_pair_cap,
+                                     n_emissions=n_emissions,
+                                     return_srcs=True)
 
     from well_duplicates_ray.stages.candidates import (
         DRIVER_COUNT_GATE,
+        hot_sketch_residual,
         sharded_pairs,
     )
 
@@ -178,7 +181,9 @@ def verified_edges(
 
     edges = verify_pairs(pairs, feats, cfg, n_rows, num_partitions,
                          prepared=prepared, edges_only=True).materialize()
-    return edges, {"n_hot_buckets": len(hot), "num_partitions": num_partitions}
+    return edges, {"n_hot_buckets": len(hot),
+                   "num_partitions": num_partitions,
+                   "hot_residual": hot_sketch_residual(hot, hot_srcs, cfg)}
 
 
 def clusters_from_edges(
@@ -225,4 +230,5 @@ def _cluster_from_features(
         edges, feats.select_columns(["node"]), aux["num_partitions"], cfg,
         id_template, n_nodes=n_rows,
     )
-    return clusters, {"edges": edges, "n_hot_buckets": aux["n_hot_buckets"]}
+    return clusters, {"edges": edges, "n_hot_buckets": aux["n_hot_buckets"],
+                      "hot_residual": aux["hot_residual"]}

@@ -98,11 +98,13 @@ def run_text_neardup(
         lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
     ).materialize()
     n_emissions = emissions.count()
-    hot = find_hot_buckets(emissions, cfg.bucket_pair_cap,
-                           n_emissions=n_emissions)
+    hot, hot_srcs = find_hot_buckets(emissions, cfg.bucket_pair_cap,
+                                     n_emissions=n_emissions,
+                                     return_srcs=True)
 
     from well_duplicates_ray.stages.candidates import (
         DRIVER_COUNT_GATE,
+        hot_sketch_residual,
         sharded_pairs,
     )
 
@@ -128,5 +130,6 @@ def run_text_neardup(
     return {
         "clusters": clusters,
         "edges": edges,
-        "metrics": {"n_rows": n_rows, "n_hot_buckets": len(hot)},
+        "metrics": {"n_rows": n_rows, "n_hot_buckets": len(hot),
+                    **hot_sketch_residual(hot, hot_srcs, cfg)},
     }

@@ -160,10 +160,14 @@ def find_hot_buckets(
     cap: int,
     n_emissions: int | None = None,
     max_collect: int = 100_000,
-) -> dict[int, int]:
+    return_srcs: bool = False,
+) -> dict[int, int] | tuple[dict[int, int], dict[int, int]]:
     """Buckets with more than ``cap`` members (the skew set), as
     {bucket: member_count} — hot_pairs sizes each bucket's sub-bucket
-    count from the member count.
+    count from the member count. With ``return_srcs`` also returns
+    {bucket: src} (each bucket key is salted per source, so a bucket has
+    exactly one src) so callers can report the sketch-bucket sampled-path
+    residual (see hot_sketch_residual).
 
     Size-gated like the verify join: below the gate the count runs as one
     vectorized Arrow value_counts on the driver (a full distributed
@@ -192,24 +196,60 @@ def find_hot_buckets(
             np.concatenate([r for r in _ray.get(cand_refs)]
                            or [np.zeros(0, np.int64)])
         )
-        hot = {}
+        hot, srcs = {}, {}
         if cands.size:
             cands_ref = _ray.put(cands)
             cnt_refs = [_hot_shard_counts.remote(g, cands_ref) for g in groups]
-            total = np.sum(_ray.get(cnt_refs), axis=0)
-            for b, c in zip(cands[total > cap].tolist(),
-                            total[total > cap].tolist()):
+            parts = _ray.get(cnt_refs)
+            total = np.sum([p[0] for p in parts], axis=0)
+            srcmax = np.max([p[1] for p in parts], axis=0)
+            mask = total > cap
+            for b, c, s in zip(cands[mask].tolist(), total[mask].tolist(),
+                               srcmax[mask].tolist()):
                 hot[int(b)] = int(c)
+                srcs[int(b)] = int(s)
     else:
-        counts = bucket_counts(emissions)
+        from ray.data.aggregate import Max
+
+        counts = emissions.groupby("bucket").aggregate(
+            Count(alias_name="n"), Max("src", alias_name="src")
+        )
         rows = counts.filter(expr=f"n > {cap}").limit(max_collect + 1).take_all()
         hot = {r["bucket"]: r["n"] for r in rows}
+        srcs = {r["bucket"]: r["src"] for r in rows}
     if len(hot) > max_collect:
         raise RuntimeError(
             f"more than {max_collect} hot buckets — raise bucket_pair_cap "
             "or max_collect; refusing to truncate silently"
         )
-    return hot
+    return (hot, srcs) if return_srcs else hot
+
+
+def hot_sketch_residual(
+    hot: dict[int, int], srcs: dict[int, int], cfg: DedupConfig
+) -> dict[str, int]:
+    """Quantify the one sampled path (ADVICE r2): members of SKETCH-source
+    hot buckets whose cross-sub-bucket pairs are not individually tested
+    (recall for those pairs relies on co-occurring in another bucket
+    source). EXACT-key hot buckets are excluded — their stars are
+    lossless. The skipped-pair figure is the expectation under uniform
+    sub-bucket salting; it is a disclosure metric, not a recall bound."""
+    sub_target = max(int(np.sqrt(cfg.bucket_pair_cap)), 4)
+    n_buckets = members = 0
+    skipped = 0.0
+    for b, m in hot.items():
+        if srcs.get(b, SRC_EXACT) == SRC_EXACT:
+            continue
+        n_buckets += 1
+        members += m
+        k = max(m // sub_target, 2)
+        intra = k * ((m / k) * (m / k - 1) / 2.0)
+        skipped += max(m * (m - 1) / 2.0 - intra, 0.0)
+    return {
+        "hot_sketch_buckets": n_buckets,
+        "hot_sketch_members": members,
+        "hot_sketch_cross_sub_pairs_est": int(skipped),
+    }
 
 
 def _bucket_col(tables) -> pa.ChunkedArray:
@@ -232,13 +272,25 @@ def _hot_shard_candidates(refs, min_count: int) -> np.ndarray:
 
 
 @ray.remote
-def _hot_shard_counts(refs, cands: np.ndarray) -> np.ndarray:
+def _hot_shard_counts(refs, cands: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-candidate-bucket (exact count, max src) over one shard of
+    emission blocks."""
     import pyarrow.compute as pc_
 
-    col = _bucket_col(ray.get(refs))
-    pos = pc_.index_in(col, value_set=pa.array(cands, pa.int64()))
-    pos = pos.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
-    return np.bincount(pos.astype(np.int64), minlength=len(cands))
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    counts = np.zeros(len(cands), dtype=np.int64)
+    srcmax = np.full(len(cands), -1, dtype=np.int64)
+    value_set = pa.array(cands, pa.int64())
+    for t in tabs:
+        pos = pc_.index_in(t["bucket"], value_set=value_set)
+        posn = pos.combine_chunks() if isinstance(pos, pa.ChunkedArray) else pos
+        posv = posn.to_numpy(zero_copy_only=False)
+        valid = ~posn.is_null().to_numpy(zero_copy_only=False)
+        idx = posv[valid].astype(np.int64)
+        counts += np.bincount(idx, minlength=len(cands))
+        src = t["src"].to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        np.maximum.at(srcmax, idx, src)
+    return counts, srcmax
 
 
 def _pairs_table(a, b) -> pa.Table:

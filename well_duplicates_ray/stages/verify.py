@@ -116,6 +116,32 @@ def build_doc_sets(feats: pa.Table, cfg: DedupConfig) -> dict:
     return out
 
 
+def screen_mask(
+    est: np.ndarray, na: np.ndarray, nb: np.ndarray, cfg: DedupConfig
+) -> np.ndarray:
+    """Exactness-preserving MinHash-estimate screen, adaptive to the
+    estimator's effective sample size.
+
+    In 'dense' mode each of the P permutations is an independent
+    Bernoulli(J) trial, so the fixed ``screen_margin`` bound holds. In
+    'oph' mode a doc with k distinct shingles fills only
+    ~P*(1-(1-1/P)^k) bins; the densified (borrowed) bins are copies of
+    filled ones, so the effective sample size is the expected filled-bin
+    count of the SMALLER doc and the fixed margin silently
+    under-screened short docs (ADVICE r2, medium). The margin widens by
+    sqrt(P/n_eff) per pair — for typical short captions the screen
+    effectively turns off and the pair goes to exact Jaccard, which is
+    the exactness-preserving direction.
+    """
+    margin: np.ndarray | float = cfg.screen_margin
+    if cfg.minhash_mode == "oph":
+        P = cfg.minhash_perms
+        kmin = np.minimum(na, nb).astype(np.float64)
+        n_eff = P * (1.0 - np.power(1.0 - 1.0 / P, kmin))
+        margin = margin * np.sqrt(P / np.maximum(n_eff, 1.0))
+    return est >= cfg.jaccard_threshold - margin
+
+
 def _sig_matrix(col, n: int) -> np.ndarray | None:
     """(n, P) uint64 view of a signature column — fixed_size_list<int64>
     (native layout) or fixed_size_binary(P*8) (the join-packed layout:
@@ -177,10 +203,10 @@ def verify_enriched_batch(
         # per-pair set-intersection merge. Two exactness-preserving
         # screens bound that merge work:
         #   1. MinHash-estimate screen before exact Jaccard — a pair whose
-        #      P=128 signature agreement is >= screen_margin BELOW the
-        #      threshold cannot plausibly pass it (Chernoff: miss prob
-        #      ~3.7e-5 at the boundary with margin 0.16; margin is config,
-        #      screen only runs when signature columns are attached).
+        #      signature agreement is far enough below the threshold
+        #      cannot plausibly pass it; the margin adapts to the OPH
+        #      effective sample size per pair (see screen_mask; screen
+        #      only runs when signature columns are attached).
         #   2. Winnowing screen before the L-gram pass — LCS >= L implies
         #      a shared winnowed fingerprint (SIGMOD'03 guarantee), and
         #      fingerprints are ~window-times sparser than L-grams.
@@ -209,7 +235,7 @@ def verify_enriched_batch(
             sb = _sig_matrix(batch["minhash_b"].take(und), m)
             if sa is not None and sb is not None:
                 est = (sa == sb).mean(axis=1)
-                jcand &= est >= cfg.jaccard_threshold - cfg.screen_margin
+                jcand &= screen_mask(est, na, nb, cfg)
 
         # screen 2: winnow fingerprints (also gates the substring pass)
         wuv, wuo = segment_unique(
@@ -336,7 +362,7 @@ class BroadcastVerifier:
             jcand = nonempty.copy()
             if self.sig is not None:
                 est = (self.sig[ca] == self.sig[cb]).mean(axis=1)
-                jcand &= est >= cfg.jaccard_threshold - cfg.screen_margin
+                jcand &= screen_mask(est, na, nb, cfg)
 
             wuv, wuo = self.wset
             wav, wao = gather_segments(wuv, wuo, ca)
