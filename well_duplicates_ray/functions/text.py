@@ -328,17 +328,169 @@ def winnow_fingerprints(
     return sel[keep], new_offsets
 
 
+def winnow_fingerprints_pos(
+    strings, gram: int, window: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Winnowing fingerprints WITH their byte positions.
+
+    Like winnow_fingerprints, but returns (values, positions, offsets)
+    where positions[i] is the row-local byte offset of the selected
+    gram's start. Each distinct selected OCCURRENCE appears once (two
+    occurrences of the same gram value at different positions are both
+    kept); rows are sorted by (value, position) so per-segment merge
+    kernels apply. The selection rule (leftmost window minimum) is a
+    deterministic function of the window's gram hashes, so two rows
+    sharing a substring of length >= gram+window-1 select the same
+    fingerprint at the same relative offset inside it — the positional
+    strengthening of the SIGMOD'03 guarantee that
+    substring_probe_hits exploits.
+    """
+    flat, offsets = flat_utf8(strings)
+    base = offsets[0]
+    grams = _rolling_hash(flat[base : offsets[-1]], gram)
+    lens = np.diff(offsets)
+    g_counts = np.maximum(lens - gram + 1, 0)
+    m_counts = np.maximum(g_counts - window + 1, 0)
+    n = len(lens)
+    if m_counts.sum() == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, np.zeros(0, dtype=np.int64), np.zeros(n + 1, dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+    arg_flat = sw.argmin(axis=1)
+    starts = np.repeat(offsets[:-1] - base, m_counts)
+    within = _segment_arange(m_counts)
+    wstart = starts + within
+    sel_idx = wstart + arg_flat[wstart]          # flat gram index selected
+    row_id = np.repeat(np.arange(n, dtype=np.int64), m_counts)
+    # dedupe consecutive identical selections (same occurrence picked by
+    # overlapping windows)
+    keep = np.ones(sel_idx.size, dtype=bool)
+    keep[1:] = (sel_idx[1:] != sel_idx[:-1]) | (row_id[1:] != row_id[:-1])
+    sel_idx, row_id = sel_idx[keep], row_id[keep]
+    vals = grams[sel_idx]
+    pos = sel_idx - (offsets[row_id] - base)     # row-local byte offset
+    # occurrences can repeat non-consecutively (distant windows reselect
+    # the same position): drop exact duplicates, sort by (row, value, pos)
+    order = np.lexsort((pos, vals, row_id))
+    vals, pos, row_id = vals[order], pos[order], row_id[order]
+    uniq = np.ones(vals.size, dtype=bool)
+    uniq[1:] = (
+        (row_id[1:] != row_id[:-1]) | (pos[1:] != pos[:-1])
+    )
+    vals, pos, row_id = vals[uniq], pos[uniq], row_id[uniq]
+    counts = np.bincount(row_id, minlength=n)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+    return vals, pos, out_offsets
+
+
+def pairwise_matching_positions(
+    av: np.ndarray, apos: np.ndarray, ao: np.ndarray,
+    bv: np.ndarray, bpos: np.ndarray, bo: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Enumerate every cross-side equal-value occurrence pair per segment.
+
+    Both sides are per-segment sorted by value (positions ride along).
+    Returns (pair_id, a_position, b_position), one row per (occurrence in
+    A_i) x (occurrence in B_i) with equal value — the candidate anchor
+    pairs for the positional substring probe. Fully vectorized; repeated
+    values expand to their (small) cross products.
+    """
+    n = len(ao) - 1
+    ra = np.repeat(np.arange(n, dtype=np.int64), np.diff(ao))
+    rb = np.repeat(np.arange(n, dtype=np.int64), np.diff(bo))
+    allv = np.concatenate([av, bv])
+    allr = np.concatenate([ra, rb])
+    allp = np.concatenate([apos, bpos])
+    side = np.concatenate(
+        [np.zeros(av.size, dtype=np.int8), np.ones(bv.size, dtype=np.int8)]
+    )
+    if allv.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    order = np.lexsort((side, allv, allr))
+    v, r, s, p = allv[order], allr[order], side[order], allp[order]
+    run_start = np.flatnonzero(
+        np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])]
+    )
+    run_sizes = np.diff(np.r_[run_start, v.size])
+    # A entries precede B entries inside a run (side is the last sort key)
+    ka = np.add.reduceat(s == 0, run_start)
+    kb = run_sizes - ka
+    m_run = ka * kb
+    live = m_run > 0
+    if not live.any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    rs, ka, kb, m_run = run_start[live], ka[live], kb[live], m_run[live]
+    t = _segment_arange(m_run)
+    rs_r = np.repeat(rs, m_run)
+    ka_r = np.repeat(ka, m_run)
+    kb_r = np.repeat(kb, m_run)
+    a_idx = rs_r + t // kb_r
+    b_idx = rs_r + ka_r + t % kb_r
+    return r[a_idx], p[a_idx], p[b_idx]
+
+
+def substring_probe_hits(
+    abuf: np.ndarray, a_abs: np.ndarray, a_left: np.ndarray,
+    a_right: np.ndarray,
+    bbuf: np.ndarray, b_abs: np.ndarray, b_left: np.ndarray,
+    b_right: np.ndarray,
+    k: int, W: int,
+) -> np.ndarray:
+    """Decide, per shared-fingerprint occurrence pair, whether the k-byte
+    anchor match extends to a common run of length >= k + W.
+
+    a_abs/b_abs: absolute byte index of the anchor start in each flat
+    buffer; a_left/a_right etc.: bytes available inside the document on
+    each side of the anchor. Exact biconditional with the LCS >= k+W
+    predicate: a common substring of length >= k+W contains a shared
+    selected fingerprint at the same relative offset q, leaving >= q
+    matching bytes on the left and >= W-q on the right (winnowing window
+    w = W+1), so left_run + right_run >= W at that occurrence; conversely
+    left_run + right_run >= W exhibits k+W contiguous equal bytes.
+    """
+    m = a_abs.size
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    j = np.arange(W, dtype=np.int64)
+    la = abuf[np.clip(a_abs[:, None] - W + j, 0, abuf.size - 1)]
+    lb = bbuf[np.clip(b_abs[:, None] - W + j, 0, bbuf.size - 1)]
+    avail_l = np.minimum(np.minimum(a_left, b_left), W)
+    valid_l = j >= (W - avail_l[:, None])
+    eq_l = (la == lb) & valid_l
+    left_run = np.cumprod(eq_l[:, ::-1], axis=1).sum(axis=1)
+    ra = abuf[np.clip(a_abs[:, None] + k + j, 0, abuf.size - 1)]
+    rb = bbuf[np.clip(b_abs[:, None] + k + j, 0, bbuf.size - 1)]
+    avail_r = np.minimum(np.minimum(a_right, b_right), W)
+    valid_r = j < avail_r[:, None]
+    eq_r = (ra == rb) & valid_r
+    right_run = np.cumprod(eq_r, axis=1).sum(axis=1)
+    return (left_run + right_run) >= W
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int, rows: int, mixer) -> np.ndarray:
-    """Hash each band (``rows`` consecutive signature slots) to one uint64.
+    """Hash each band (``rows`` STRIDED signature slots: band b takes
+    positions b, b+bands, ..., b+(rows-1)*bands) to one uint64.
+
+    Strided (not consecutive) slot assignment matters under OPH rotation
+    densification: an empty-bin run borrows from the same filled bin, so
+    two docs sharing a single shingle minimum can agree on a whole run of
+    consecutive slots — with consecutive banding that one coincidence
+    collides a full band (measured 4.0M spurious cold-bucket pairs at
+    n=60k vs 0.4M strided, same true-pair coverage). Scattering a band's
+    slots across the signature breaks run alignment; per-slot agreement
+    statistics (and the 1-(1-s^r)^b recall curve) are unchanged.
 
     sig: (n, bands*rows) uint64 -> (n, bands) uint64 band keys. Rows with
     the SENTINEL signature return SENTINEL keys (caller filters them out).
     """
     n = sig.shape[0]
-    v = sig.reshape(n, bands, rows)
+    v = sig.reshape(n, rows, bands)
     acc = np.zeros((n, bands), dtype=np.uint64)
     for j in range(rows):
-        acc = acc * np.uint64(0x100000001B3) + v[:, :, j]
+        acc = acc * np.uint64(0x100000001B3) + v[:, j, :]
     empty = (sig == _SENTINEL).all(axis=1)
     keys = np.empty((n, bands), dtype=np.uint64)
     for bi in range(bands):
@@ -397,6 +549,23 @@ def gather_segments(
     return values[pos], out_offsets
 
 
+def gather_segments2(
+    values: np.ndarray, aux: np.ndarray, offsets: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """gather_segments for two parallel flat arrays sharing one offsets
+    layout (winnow fingerprint values + their byte positions) — the
+    gather index is computed once."""
+    idx = np.asarray(idx, dtype=np.int64)
+    counts = offsets[idx + 1] - offsets[idx]
+    out_offsets = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+    if out_offsets[-1] == 0:
+        return (np.zeros(0, dtype=values.dtype),
+                np.zeros(0, dtype=aux.dtype), out_offsets)
+    pos = np.repeat(offsets[idx], counts) + _segment_arange(counts)
+    return values[pos], aux[pos], out_offsets
+
+
 def pairwise_intersection_counts(
     av: np.ndarray, ao: np.ndarray, bv: np.ndarray, bo: np.ndarray
 ) -> np.ndarray:
@@ -414,7 +583,12 @@ def pairwise_intersection_counts(
     )
     if allv.size == 0:
         return np.zeros(n, dtype=np.int64)
-    order = np.lexsort((side, allv, allr))
+    # two sort keys only: per-side segments are unique, so an equal
+    # (segment, value) run holds at most one element per side, and the
+    # stable lexsort keeps A (concatenated first) before B — the side
+    # array is needed for the hit test but not as a sort key (the third
+    # stable pass was ~1/3 of this kernel's time)
+    order = np.lexsort((allv, allr))
     v = allv[order]
     r = allr[order]
     s = side[order]

@@ -105,7 +105,7 @@ class MinHashSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from well_duplicates_ray.functions.text import (
             segment_unique,
-            winnow_fingerprints,
+            winnow_fingerprints_pos,
         )
 
         cfg = self.cfg
@@ -128,16 +128,18 @@ class MinHashSignatures:
                 pa.array(values.view(np.int64)),
             )
 
-        # per-document sorted-unique predicate sets, computed HERE in the
+        # per-document predicate structures, computed HERE in the
         # distributed feature pass so the verify stage's broadcast setup
-        # is pure zero-copy assembly (stages/verify.py build_doc_sets)
+        # is pure zero-copy assembly (stages/verify.py build_doc_sets):
+        # sorted-unique shingle sets (exact Jaccard) and winnow
+        # fingerprint OCCURRENCES — (value, byte position), sorted by
+        # value — which the verifier turns into exact substring decisions
+        # with neighborhood byte probes (text.py substring_probe_hits);
+        # the r2 per-doc L-gram sets are gone, they cost O(len) extra
+        # hashing here and O(set size) intersection work per pair there.
         sset = segment_unique(vals, offs)
-        wset = segment_unique(
-            *winnow_fingerprints(batch["caption"], cfg.winnow_gram,
-                                 cfg.winnow_window)
-        )
-        gset = segment_unique(
-            *shingle_hashes(batch["caption"], cfg.substring_min_len)
+        wv, wp, wo = winnow_fingerprints_pos(
+            batch["caption"], cfg.winnow_gram, cfg.winnow_window
         )
         return batch.append_column(
             "minhash", minhash_col
@@ -148,5 +150,5 @@ class MinHashSignatures:
         ).append_column(
             "set_shingle", lst(*sset)
         ).append_column(
-            "set_winnow", lst(*wset)
-        ).append_column("set_lgram", lst(*gset))
+            "set_winnow", lst(wv, wo)
+        ).append_column("set_winnow_pos", lst(wp, wo))

@@ -32,16 +32,20 @@ import ray.data
 from well_duplicates_ray.config import DedupConfig
 from well_duplicates_ray.functions.phash import hamming64
 from well_duplicates_ray.functions.text import (
+    flat_utf8,
     gather_segments,
+    gather_segments2,
     pairwise_intersection_counts,
+    pairwise_matching_positions,
     segment_unique,
     shingle_hashes,
-    winnow_fingerprints,
+    substring_probe_hits,
+    winnow_fingerprints_pos,
 )
 
 FEATURE_COLS = [
     "node", "caption", "phash", "content_sha", "minhash",
-    "set_shingle", "set_winnow", "set_lgram",
+    "set_shingle", "set_winnow", "set_winnow_pos",
 ]
 
 
@@ -52,10 +56,9 @@ def _as_array(col) -> pa.Array:
 def _doc_sets_of(cap: pa.Array, cfg: DedupConfig) -> dict:
     return {
         "s": segment_unique(*shingle_hashes(cap, cfg.shingle_k)),
-        "w": segment_unique(
-            *winnow_fingerprints(cap, cfg.winnow_gram, cfg.winnow_window)
+        "w": winnow_fingerprints_pos(
+            cap, cfg.winnow_gram, cfg.winnow_window
         ),
-        "g": segment_unique(*shingle_hashes(cap, cfg.substring_min_len)),
     }
 
 
@@ -74,22 +77,27 @@ def _sets_from_list_col(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def build_doc_sets(feats: pa.Table, cfg: DedupConfig) -> dict:
-    """Per-document sorted-unique hash sets for the verify predicates:
-    byte shingles (exact Jaccard), winnow fingerprints (substring screen),
-    L-grams (exact substring decision). Each is a flat (values, offsets)
-    segment layout indexed by feature-row position.
+    """Per-document verify-predicate structures, each a flat segment
+    layout indexed by feature-row position: "s" = sorted-unique byte
+    shingles (values, offsets) for exact Jaccard; "w" = winnow
+    fingerprint occurrences (values, byte positions, offsets) — shared
+    values are the substring candidate screen, and the positions feed the
+    exact neighborhood byte probe (text.py substring_probe_hits).
 
     When the feature table already carries the precomputed set columns
-    (set_shingle/set_winnow/set_lgram, emitted by the distributed
+    (set_shingle/set_winnow/set_winnow_pos, emitted by the distributed
     signature stage under the SAME DedupConfig), assembly is zero-copy
     views. Otherwise documents are independent, so the build fans out
     over row-range shards as Ray tasks and reconcatenates (a
     single-threaded build was ~12 s of driver time at n=60k)."""
     if "set_shingle" in feats.column_names:
+        wv, wo = _sets_from_list_col(feats["set_winnow"])
+        pos_arr = _as_array(feats["set_winnow_pos"])
+        wp = pos_arr.values.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
         return {
             "s": _sets_from_list_col(feats["set_shingle"]),
-            "w": _sets_from_list_col(feats["set_winnow"]),
-            "g": _sets_from_list_col(feats["set_lgram"]),
+            "w": (wv, wp, wo),
         }
     cap = _as_array(feats["caption"]).fill_null("")
     n = len(cap)
@@ -103,16 +111,19 @@ def build_doc_sets(feats: pa.Table, cfg: DedupConfig) -> dict:
     ]
     parts = ray.get(futs)
     out = {}
-    for k in ("s", "w", "g"):
-        vals = np.concatenate([p[k][0] for p in parts])
+    for k in ("s", "w"):
+        flats = [
+            np.concatenate([p[k][i] for p in parts])
+            for i in range(len(parts[0][k]) - 1)
+        ]
         offs = np.zeros(n + 1, dtype=np.int64)
         pos, base = 1, 0
         for p in parts:
-            o = p[k][1]
+            o = p[k][-1]
             offs[pos : pos + len(o) - 1] = o[1:] + base
             pos += len(o) - 1
             base += o[-1]
-        out[k] = (vals, offs)
+        out[k] = (*flats, offs)
     return out
 
 
@@ -237,13 +248,18 @@ def verify_enriched_batch(
                 est = (sa == sb).mean(axis=1)
                 jcand &= screen_mask(est, na, nb, cfg)
 
-        # screen 2: winnow fingerprints (also gates the substring pass)
-        wuv, wuo = segment_unique(
-            *winnow_fingerprints(uniq, cfg.winnow_gram, cfg.winnow_window)
+        # screen 2: winnow fingerprint occurrences (value + byte position),
+        # shared values gate both exact Jaccard and the substring probe
+        wuv, wup, wuo = winnow_fingerprints_pos(
+            uniq, cfg.winnow_gram, cfg.winnow_window
         )
-        wav, wao = gather_segments(wuv, wuo, ca)
-        wbv, wbo = gather_segments(wuv, wuo, cb)
-        whit = pairwise_intersection_counts(wav, wao, wbv, wbo) > 0
+        wav, wap, wao = gather_segments2(wuv, wup, wuo, ca)
+        wbv, wbp, wbo = gather_segments2(wuv, wup, wuo, cb)
+        mp, mpa, mpb = pairwise_matching_positions(
+            wav, wap, wao, wbv, wbp, wbo
+        )
+        whit = np.zeros(m, dtype=bool)
+        whit[mp] = True
 
         # exact Jaccard for every pair that could become an edge
         idx = np.flatnonzero(jcand | (whit & nonempty))
@@ -257,21 +273,22 @@ def verify_enriched_batch(
             jdup = idx[j >= cfg.jaccard_threshold]
             kind[undecided[jdup]] = "jaccard"
 
-        # exact substring predicate on winnow-screened, still-undecided
-        # pairs: L-gram sets built only for the captions those pairs touch
-        sidx = np.flatnonzero(whit & (kind[undecided] == ""))
-        if sidx.size:
-            L = cfg.substring_min_len
-            used = np.unique(np.concatenate([ca[sidx], cb[sidx]]))
-            remap = np.full(len(uniq), -1, dtype=np.int64)
-            remap[used] = np.arange(used.size)
-            guv, guo = segment_unique(
-                *shingle_hashes(uniq.take(pa.array(used)), L)
+        # exact substring decision on still-undecided pairs: byte probes
+        # around each shared-fingerprint occurrence (== LCS >= L exactly)
+        live = np.flatnonzero(kind[undecided[mp]] == "")
+        if live.size:
+            pid, apos, bpos = mp[live], mpa[live], mpb[live]
+            da, db = ca[pid], cb[pid]
+            capbuf, capoffs = flat_utf8(uniq)
+            lens = np.diff(capoffs)
+            k = cfg.winnow_gram
+            W = cfg.winnow_window - 1
+            hits = substring_probe_hits(
+                capbuf, capoffs[da] + apos, apos, lens[da] - apos - k,
+                capbuf, capoffs[db] + bpos, bpos, lens[db] - bpos - k,
+                k, W,
             )
-            gav, gao = gather_segments(guv, guo, remap[ca[sidx]])
-            gbv, gbo = gather_segments(guv, guo, remap[cb[sidx]])
-            hit = pairwise_intersection_counts(gav, gao, gbv, gbo) > 0
-            kind[undecided[sidx[hit]]] = "substring"
+            kind[undecided[np.unique(pid[hits])]] = "substring"
 
     return pa.table(
         {
@@ -311,8 +328,9 @@ class BroadcastVerifier:
         # a dup
         self.cap_raw = _as_array(feats["caption"])
         self.sset = bundle["s"]
-        self.wset = bundle["w"]
-        self.gset = bundle["g"]
+        self.wset = bundle["w"]          # (values, byte positions, offsets)
+        self.capbuf = bundle["capbuf"]   # flat caption bytes
+        self.capoffs = bundle["capoffs"]
         self.phash = bundle.get("ph")
         self.sig = bundle.get("sig")
 
@@ -364,10 +382,14 @@ class BroadcastVerifier:
                 est = (self.sig[ca] == self.sig[cb]).mean(axis=1)
                 jcand &= screen_mask(est, na, nb, cfg)
 
-            wuv, wuo = self.wset
-            wav, wao = gather_segments(wuv, wuo, ca)
-            wbv, wbo = gather_segments(wuv, wuo, cb)
-            whit = pairwise_intersection_counts(wav, wao, wbv, wbo) > 0
+            wuv, wup, wuo = self.wset
+            wav, wap, wao = gather_segments2(wuv, wup, wuo, ca)
+            wbv, wbp, wbo = gather_segments2(wuv, wup, wuo, cb)
+            mp, mpa, mpb = pairwise_matching_positions(
+                wav, wap, wao, wbv, wbp, wbo
+            )
+            whit = np.zeros(und.size, dtype=bool)
+            whit[mp] = True
 
             idx = np.flatnonzero(jcand | (whit & nonempty))
             if idx.size:
@@ -379,13 +401,24 @@ class BroadcastVerifier:
                 jac[und[idx]] = j
                 kind[und[idx[j >= cfg.jaccard_threshold]]] = "jaccard"
 
-            sidx = np.flatnonzero(whit & (kind[und] == ""))
-            if sidx.size:
-                guv, guo = self.gset
-                gav, gao = gather_segments(guv, guo, ca[sidx])
-                gbv, gbo = gather_segments(guv, guo, cb[sidx])
-                hit = pairwise_intersection_counts(gav, gao, gbv, gbo) > 0
-                kind[und[sidx[hit]]] = "substring"
+            # exact substring decision: probe the caption bytes around
+            # each shared winnow-fingerprint occurrence (biconditional
+            # with LCS >= substring_min_len — text.py substring_probe_hits)
+            live = np.flatnonzero(kind[und[mp]] == "")
+            if live.size:
+                pid, apos, bpos = mp[live], mpa[live], mpb[live]
+                da, db = ca[pid], cb[pid]
+                k = cfg.winnow_gram
+                W = cfg.winnow_window - 1
+                lens = np.diff(self.capoffs)
+                hits = substring_probe_hits(
+                    self.capbuf, self.capoffs[da] + apos,
+                    apos, lens[da] - apos - k,
+                    self.capbuf, self.capoffs[db] + bpos,
+                    bpos, lens[db] - bpos - k,
+                    k, W,
+                )
+                kind[und[np.unique(pid[hits])]] = "substring"
 
         return pa.table(
             {
@@ -448,6 +481,9 @@ def prepare_broadcast(refs, cols: list[str], cfg_dict: dict) -> dict:
         [t.select(cols) for t in ray.get(refs)]
     ).combine_chunks()
     state = dict(build_doc_sets(tbl, cfg))
+    # flat caption bytes + per-doc offsets: random access for the
+    # substring neighborhood probes (zero-copy view of the Arrow buffer)
+    state["capbuf"], state["capoffs"] = flat_utf8(tbl["caption"])
     if "minhash" in tbl.column_names:
         state["sig"] = _sig_matrix(tbl["minhash"], tbl.num_rows)
     if "phash" in tbl.column_names:
