@@ -408,13 +408,16 @@ def pairwise_matching_positions(
     if allv.size == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    order = np.lexsort((side, allv, allr))
+    # two sort keys only: the stable lexsort keeps A occurrences (which
+    # were concatenated first) ahead of B occurrences inside each equal
+    # (segment, value) run, which is all the run-splitting below needs
+    order = np.lexsort((allv, allr))
     v, r, s, p = allv[order], allr[order], side[order], allp[order]
     run_start = np.flatnonzero(
         np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])]
     )
     run_sizes = np.diff(np.r_[run_start, v.size])
-    # A entries precede B entries inside a run (side is the last sort key)
+    # A entries precede B entries inside a run (stable sort, A first)
     ka = np.add.reduceat(s == 0, run_start)
     kb = run_sizes - ka
     m_run = ka * kb

@@ -21,7 +21,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count
 
 from well_duplicates_ray.config import DedupConfig, DEFAULT_CONFIG
 from well_duplicates_ray.stages.candidates import (
@@ -55,6 +54,31 @@ def ids_to_int(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 def ints_to_ids(x: np.ndarray, template: str = "img{:08d}") -> list[str]:
     return [template.format(int(v)) for v in x]
+
+
+def ints_to_ids_arrow(x: np.ndarray, template: str = "img{:08d}") -> pa.Array:
+    """Vectorized id formatting for zero-padded templates (the per-row
+    ``str.format`` loop was a driver-visible constant in the cluster
+    phase); falls back to the python loop for exotic templates."""
+    import re
+
+    m = re.fullmatch(r"(.*)\{:0(\d+)d\}(.*)", template)
+    if m is None:
+        return pa.array(ints_to_ids(x, template), pa.string())
+    prefix, width, suffix = m.group(1), int(m.group(2)), m.group(3)
+    digits = pc.utf8_lpad(
+        pc.cast(pa.array(x, pa.int64()), pa.string()), width, "0"
+    )
+    n = len(digits)
+    if prefix:
+        digits = pc.binary_join_element_wise(
+            pa.array([prefix] * n, pa.string()), digits, ""
+        )
+    if suffix:
+        digits = pc.binary_join_element_wise(
+            digits, pa.array([suffix] * n, pa.string()), ""
+        )
+    return digits
 
 
 def build_features(
@@ -113,19 +137,41 @@ def run_neardup(
     metrics: dict = {"n_rows": n_rows, "n_hot_buckets": aux["n_hot_buckets"],
                      **aux.get("hot_residual", {})}
     if collect_metrics:
-        kinds = (
-            edges.groupby("kind")
-            .aggregate(Count(alias_name="n"))
-            .take_all()
-        )
-        metrics["edges_by_kind"] = {r["kind"]: r["n"] for r in kinds}
-        metrics["n_edges"] = int(sum(metrics["edges_by_kind"].values()))
-        bad = feats.map_batches(
-            lambda t: t.filter(pc.invert(t["decode_ok"])),
-            batch_format="pyarrow",
-        ).count()
-        metrics["n_quarantined"] = bad
+        # one wave of shard tasks over the already-materialized edge and
+        # feature blocks (zero-copy plasma reads) — a groupby("kind") pass
+        # plus a filter+count pass were two full dataset executions for a
+        # handful of counters (CPU-count-independent constants)
+        erefs = edges.to_arrow_refs()
+        frefs = feats.to_arrow_refs()
+        nsh = 8
+        parts = ray.get([
+            _metrics_shard.remote(erefs[i::nsh], frefs[i::nsh])
+            for i in range(nsh)
+        ])
+        by_kind: dict[str, int] = {}
+        for kinds, _ in parts:
+            for k, v in kinds.items():
+                by_kind[k] = by_kind.get(k, 0) + v
+        metrics["edges_by_kind"] = by_kind
+        metrics["n_edges"] = int(sum(by_kind.values()))
+        metrics["n_quarantined"] = int(sum(p[1] for p in parts))
     return {"clusters": clusters, "edges": edges, "metrics": metrics}
+
+
+@ray.remote
+def _metrics_shard(edge_refs, feat_refs) -> tuple[dict, int]:
+    """Per-shard (edge kind counts, quarantined-row count)."""
+    kinds: dict[str, int] = {}
+    for t in ray.get(list(edge_refs)):
+        if t.num_rows == 0:
+            continue
+        for rec in pc.value_counts(t["kind"]).to_pylist():
+            kinds[rec["values"]] = kinds.get(rec["values"], 0) + rec["counts"]
+    bad = 0
+    for t in ray.get(list(feat_refs)):
+        if t.num_rows:
+            bad += t.num_rows - pc.sum(t["decode_ok"]).as_py()
+    return kinds, bad
 
 
 def verified_edges(
@@ -194,19 +240,48 @@ def clusters_from_edges(
     id_template: str = "img{:08d}",
     n_nodes: int | None = None,
 ) -> ray.data.Dataset:
-    """Iterative min-label components over verified edges -> cluster table."""
+    """Iterative min-label components over verified edges -> cluster table.
+
+    Small graphs (the same size gate as the verify broadcast join) skip
+    the Dataset machinery entirely: fetch the edge blocks + node column,
+    run the vectorized driver DSU, format ids with Arrow kernels, and
+    return an already-materialized table — three lazy dataset executions
+    (select, relabel map, count) collapse into one driver step, a pure
+    constant in the scaling profile."""
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    n_edges = edges.count()
+    if n_nodes + n_edges <= cfg.broadcast_threshold:
+        import ray as _ray
+
+        from well_duplicates_ray.stages.components import components_numpy
+
+        etabs = [_ray.get(r) for r in edges.to_arrow_refs()]
+        ntabs = [_ray.get(r) for r in nodes.to_arrow_refs()]
+        node_arr, comp_arr = components_numpy(
+            etabs, [t["node"].to_numpy() for t in ntabs]
+        )
+        tbl = pa.table(
+            {
+                "image_id": ints_to_ids_arrow(node_arr, id_template),
+                "component": ints_to_ids_arrow(comp_arr, id_template),
+            }
+        )
+        chunk = 65536
+        return ray.data.from_arrow(
+            [tbl.slice(s, chunk) for s in range(0, max(tbl.num_rows, 1), chunk)]
+        )
     comp = connected_components(
         edges.select_columns(["a", "b"]), nodes, num_partitions,
         driver_threshold=cfg.broadcast_threshold, n_nodes=n_nodes,
+        n_edges=n_edges,
     )
     return comp.map_batches(
         lambda t: pa.table(
             {
-                "image_id": pa.array(
-                    ints_to_ids(t["node"].to_numpy(), id_template), pa.string()
-                ),
-                "component": pa.array(
-                    ints_to_ids(t["component"].to_numpy(), id_template), pa.string()
+                "image_id": ints_to_ids_arrow(t["node"].to_numpy(), id_template),
+                "component": ints_to_ids_arrow(
+                    t["component"].to_numpy(), id_template
                 ),
             }
         ),

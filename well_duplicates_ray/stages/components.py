@@ -112,33 +112,22 @@ def connected_components(
     return labels.rename_columns({"label": "component"})
 
 
-def _components_driver_dsu(
-    edges: ray.data.Dataset, nodes: ray.data.Dataset
-) -> ray.data.Dataset:
-    """Exact driver-side union-find for provably-small graphs (same result
-    as the distributed path; components labeled by min node)."""
-    def _tables(ds):
-        import ray as _ray
-
-        return [_ray.get(r) for r in ds.to_arrow_refs()]
-
+def components_numpy(
+    edge_tables: list[pa.Table], node_arrays: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact in-memory components for provably-small graphs: vectorized
+    min-label propagation with pointer jumping — each pass pulls the
+    smaller label across every edge at once (np.minimum.at), then halves
+    label-chain depth (label = label[label]); converges in O(log
+    diameter) passes. Replaces a per-edge python union-find loop (~1-2 s
+    at 30k edges / 60k nodes — a pure constant in the scaling profile).
+    Returns (sorted unique node array, component label per node)."""
     node_arr = np.sort(
-        np.unique(
-            np.concatenate(
-                [t["node"].to_numpy() for t in _tables(nodes)]
-                or [np.zeros(0, np.int64)]
-            )
-        )
+        np.unique(np.concatenate(node_arrays or [np.zeros(0, np.int64)]))
     )
-    # vectorized min-label propagation with pointer jumping: each pass
-    # pulls the smaller label across every edge at once (np.minimum.at),
-    # then halves label-chain depth (label = label[label]); converges in
-    # O(log diameter) passes. Replaces a per-edge python union-find loop
-    # (~1-2 s at 30k edges / 60k nodes — a pure constant in the scaling
-    # profile).
     label = np.arange(node_arr.size, dtype=np.int64)
     eia, eib = [], []
-    for t in _tables(edges):
+    for t in edge_tables:
         eia.append(np.searchsorted(node_arr, t["a"].to_numpy()))
         eib.append(np.searchsorted(node_arr, t["b"].to_numpy()))
     if eia:
@@ -154,7 +143,23 @@ def _components_driver_dsu(
             label = lab
             if np.array_equal(label, before):
                 break
-    comp = node_arr[label]
+    return node_arr, node_arr[label]
+
+
+def _components_driver_dsu(
+    edges: ray.data.Dataset, nodes: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Exact driver-side union-find for provably-small graphs (same result
+    as the distributed path; components labeled by min node)."""
+    def _tables(ds):
+        import ray as _ray
+
+        return [_ray.get(r) for r in ds.to_arrow_refs()]
+
+    node_arr, comp = components_numpy(
+        _tables(edges),
+        [t["node"].to_numpy() for t in _tables(nodes)],
+    )
     return ray.data.from_arrow(
         pa.table({"node": pa.array(node_arr), "component": pa.array(comp)})
     )

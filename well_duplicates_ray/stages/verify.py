@@ -237,10 +237,13 @@ def verify_enriched_batch(
         suv, suo = segment_unique(*shingle_hashes(uniq, cfg.shingle_k))
         n_u = np.diff(suo)
         na, nb = n_u[ca], n_u[cb]
-        nonempty = (na > 0) & (nb > 0)
 
-        # screen 1: MinHash signature agreement (only with sigs attached)
-        jcand = nonempty.copy()
+        # exactness-preserving Jaccard screens (see BroadcastVerifier):
+        # size-ratio necessary condition + signature-agreement estimate
+        jcand = (na > 0) & (nb > 0)
+        jcand &= np.minimum(na, nb) >= cfg.jaccard_threshold * np.maximum(
+            na, nb
+        )
         if "minhash_a" in batch.column_names:
             sa = _sig_matrix(batch["minhash_a"].take(und), m)
             sb = _sig_matrix(batch["minhash_b"].take(und), m)
@@ -248,21 +251,7 @@ def verify_enriched_batch(
                 est = (sa == sb).mean(axis=1)
                 jcand &= screen_mask(est, na, nb, cfg)
 
-        # screen 2: winnow fingerprint occurrences (value + byte position),
-        # shared values gate both exact Jaccard and the substring probe
-        wuv, wup, wuo = winnow_fingerprints_pos(
-            uniq, cfg.winnow_gram, cfg.winnow_window
-        )
-        wav, wap, wao = gather_segments2(wuv, wup, wuo, ca)
-        wbv, wbp, wbo = gather_segments2(wuv, wup, wuo, cb)
-        mp, mpa, mpb = pairwise_matching_positions(
-            wav, wap, wao, wbv, wbp, wbo
-        )
-        whit = np.zeros(m, dtype=bool)
-        whit[mp] = True
-
-        # exact Jaccard for every pair that could become an edge
-        idx = np.flatnonzero(jcand | (whit & nonempty))
+        idx = np.flatnonzero(jcand)
         if idx.size:
             av, ao = gather_segments(suv, suo, ca[idx])
             bv, bo = gather_segments(suv, suo, cb[idx])
@@ -274,21 +263,39 @@ def verify_enriched_batch(
             kind[undecided[jdup]] = "jaccard"
 
         # exact substring decision on still-undecided pairs: byte probes
-        # around each shared-fingerprint occurrence (== LCS >= L exactly)
-        live = np.flatnonzero(kind[undecided[mp]] == "")
-        if live.size:
-            pid, apos, bpos = mp[live], mpa[live], mpb[live]
-            da, db = ca[pid], cb[pid]
+        # around each shared winnow-fingerprint occurrence (== LCS >= L
+        # exactly); exact Jaccard runs only for the pairs that hit, to
+        # carry the jac value and keep kind precedence jaccard > substring
+        rem = np.flatnonzero(kind[undecided] == "")
+        if rem.size:
+            wuv, wup, wuo = winnow_fingerprints_pos(
+                uniq, cfg.winnow_gram, cfg.winnow_window
+            )
+            wav, wap, wao = gather_segments2(wuv, wup, wuo, ca[rem])
+            wbv, wbp, wbo = gather_segments2(wuv, wup, wuo, cb[rem])
+            mp, mpa, mpb = pairwise_matching_positions(
+                wav, wap, wao, wbv, wbp, wbo
+            )
             capbuf, capoffs = flat_utf8(uniq)
             lens = np.diff(capoffs)
             k = cfg.winnow_gram
             W = cfg.winnow_window - 1
+            da, db = ca[rem[mp]], cb[rem[mp]]
             hits = substring_probe_hits(
-                capbuf, capoffs[da] + apos, apos, lens[da] - apos - k,
-                capbuf, capoffs[db] + bpos, bpos, lens[db] - bpos - k,
+                capbuf, capoffs[da] + mpa, mpa, lens[da] - mpa - k,
+                capbuf, capoffs[db] + mpb, mpb, lens[db] - mpb - k,
                 k, W,
             )
-            kind[undecided[np.unique(pid[hits])]] = "substring"
+            hp = rem[np.unique(mp[hits])]
+            if hp.size:
+                av, ao = gather_segments(suv, suo, ca[hp])
+                bv, bo = gather_segments(suv, suo, cb[hp])
+                inter = pairwise_intersection_counts(av, ao, bv, bo)
+                j = inter / np.maximum(na[hp] + nb[hp] - inter, 1)
+                jac[undecided[hp]] = j
+                kind[undecided[hp]] = np.where(
+                    j >= cfg.jaccard_threshold, "jaccard", "substring"
+                ).astype(object)
 
     return pa.table(
         {
@@ -375,23 +382,19 @@ class BroadcastVerifier:
             suv, suo = self.sset
             n_u = np.diff(suo)
             na, nb = n_u[ca], n_u[cb]
-            nonempty = (na > 0) & (nb > 0)
-
-            jcand = nonempty.copy()
+            # two exactness-preserving Jaccard screens (SURVEY.md G13):
+            # the signature-agreement estimate (probabilistic, adaptive
+            # OPH margin) and |A∩B| <= min ⟹ J <= min/max (exact
+            # necessary condition — prunes size-mismatched pairs free)
+            jcand = (na > 0) & (nb > 0)
+            jcand &= np.minimum(na, nb) >= cfg.jaccard_threshold * np.maximum(
+                na, nb
+            )
             if self.sig is not None:
                 est = (self.sig[ca] == self.sig[cb]).mean(axis=1)
                 jcand &= screen_mask(est, na, nb, cfg)
 
-            wuv, wup, wuo = self.wset
-            wav, wap, wao = gather_segments2(wuv, wup, wuo, ca)
-            wbv, wbp, wbo = gather_segments2(wuv, wup, wuo, cb)
-            mp, mpa, mpb = pairwise_matching_positions(
-                wav, wap, wao, wbv, wbp, wbo
-            )
-            whit = np.zeros(und.size, dtype=bool)
-            whit[mp] = True
-
-            idx = np.flatnonzero(jcand | (whit & nonempty))
+            idx = np.flatnonzero(jcand)
             if idx.size:
                 av, ao = gather_segments(suv, suo, ca[idx])
                 bv, bo = gather_segments(suv, suo, cb[idx])
@@ -401,24 +404,43 @@ class BroadcastVerifier:
                 jac[und[idx]] = j
                 kind[und[idx[j >= cfg.jaccard_threshold]]] = "jaccard"
 
-            # exact substring decision: probe the caption bytes around
-            # each shared winnow-fingerprint occurrence (biconditional
-            # with LCS >= substring_min_len — text.py substring_probe_hits)
-            live = np.flatnonzero(kind[und[mp]] == "")
-            if live.size:
-                pid, apos, bpos = mp[live], mpa[live], mpb[live]
-                da, db = ca[pid], cb[pid]
+            # exact substring decision for the still-undecided pairs:
+            # probe the caption bytes around each shared winnow-fingerprint
+            # occurrence (biconditional with LCS >= substring_min_len —
+            # text.py substring_probe_hits). Exact Jaccard then runs ONLY
+            # for the pairs that hit (to carry the jac value and to keep
+            # the kind precedence jaccard > substring exact) — running it
+            # for every fingerprint-sharing candidate was the verify
+            # stage's dominant cost (~75% of kernel time at sf0.1).
+            rem = np.flatnonzero(kind[und] == "")
+            if rem.size:
+                wuv, wup, wuo = self.wset
+                wav, wap, wao = gather_segments2(wuv, wup, wuo, ca[rem])
+                wbv, wbp, wbo = gather_segments2(wuv, wup, wuo, cb[rem])
+                mp, mpa, mpb = pairwise_matching_positions(
+                    wav, wap, wao, wbv, wbp, wbo
+                )
                 k = cfg.winnow_gram
                 W = cfg.winnow_window - 1
                 lens = np.diff(self.capoffs)
+                da, db = ca[rem[mp]], cb[rem[mp]]
                 hits = substring_probe_hits(
-                    self.capbuf, self.capoffs[da] + apos,
-                    apos, lens[da] - apos - k,
-                    self.capbuf, self.capoffs[db] + bpos,
-                    bpos, lens[db] - bpos - k,
+                    self.capbuf, self.capoffs[da] + mpa,
+                    mpa, lens[da] - mpa - k,
+                    self.capbuf, self.capoffs[db] + mpb,
+                    mpb, lens[db] - mpb - k,
                     k, W,
                 )
-                kind[und[np.unique(pid[hits])]] = "substring"
+                hp = rem[np.unique(mp[hits])]
+                if hp.size:
+                    av, ao = gather_segments(suv, suo, ca[hp])
+                    bv, bo = gather_segments(suv, suo, cb[hp])
+                    inter = pairwise_intersection_counts(av, ao, bv, bo)
+                    j = inter / np.maximum(na[hp] + nb[hp] - inter, 1)
+                    jac[und[hp]] = j
+                    kind[und[hp]] = np.where(
+                        j >= cfg.jaccard_threshold, "jaccard", "substring"
+                    ).astype(object)
 
         return pa.table(
             {
