@@ -229,16 +229,22 @@ def run_scaling(sf_dir: str) -> dict:
     up to 22% of per-CPU capacity when all 32 CPUs run, so the 32-CPU
     leg measures host oversubscription, not the engine; BASELINE.md
     records the per-process busy-loop ratios and both level pairs).
-    Repetitions via RAY_GRAFT_SCALE_REPS (default 3, interleaved — the
-    per-leg MEDIAN is reported with the spread, since this VM's per-CPU
-    capacity fluctuates with host steal). Each leg runs the flagship
+    Repetitions via RAY_GRAFT_SCALE_REPS (default 4). Each rep runs BOTH
+    legs back-to-back (adjacent in time, order alternating lo-first /
+    hi-first so monotone host drift cancels) and yields one PAIRED raw
+    efficiency; the headline value is the median of the per-pair raw
+    efficiencies — this VM's per-CPU capacity fluctuates 2-3x with host
+    steal on minute timescales, and pairing compares legs measured under
+    the same conditions while ratio-of-medians compares legs minutes
+    apart. The ratio-of-medians figure and full per-leg spreads are
+    reported alongside; nothing is dropped. Each leg runs the flagship
     ONLY (the scaling criterion is about the headline pipeline; the
     query sweep would triple each leg's wall time)."""
     _images_for_sf(_sf_of(sf_dir))  # generate cache once, outside timing
     lo_n, hi_n = (
         int(x) for x in os.environ.get("RAY_GRAFT_SCALE_LEVELS", "4,16").split(",")
     )
-    reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "3"))
+    reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "4"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
@@ -265,26 +271,38 @@ def run_scaling(sf_dir: str) -> dict:
             r1 = sum(p.map(_burn, range(1)))
         return rn / r1
 
-    runs_lo, runs_hi = [], []
+    factor = hi_n / lo_n
+    runs_lo, runs_hi, pair_effs = [], [], []
     ratios_lo, ratios_hi = [], []
-    for _ in range(reps):  # interleave legs so host drift hits both alike
+    for i in range(reps):  # paired legs, alternating order
         ratios_lo.append(cpu_ratio(lo_n))
-        runs_lo.append(one(lo_n))
+        if i % 2 == 0:
+            r_lo_run = one(lo_n)
+            r_hi_run = one(hi_n)
+        else:
+            r_hi_run = one(hi_n)
+            r_lo_run = one(lo_n)
         ratios_hi.append(cpu_ratio(hi_n))
-        runs_hi.append(one(hi_n))
+        runs_lo.append(r_lo_run)
+        runs_hi.append(r_hi_run)
+        pair_effs.append(
+            (r_lo_run["queries"]["flagship_neardup_images"]
+             / r_hi_run["queries"]["flagship_neardup_images"]) / factor
+        )
 
     def med(runs, key):
         return statistics.median(r["queries"][key] for r in runs)
 
     t_lo = med(runs_lo, "flagship_neardup_images")
     t_hi = med(runs_hi, "flagship_neardup_images")
-    factor = hi_n / lo_n
-    eff = (t_lo / t_hi) / factor
+    eff_pair = statistics.median(pair_effs)
+    eff_rom = (t_lo / t_hi) / factor
     r_lo = statistics.median(ratios_lo)
     r_hi = statistics.median(ratios_hi)
     # efficiency after removing the host's own oversubscription at the
     # high leg: what the same engine would measure on an unshared host
-    eff_norm = eff * (r_lo / r_hi) if r_hi > 0 else eff
+    # (reported separately per ADVICE — raw stays the headline)
+    eff_norm = eff_pair * (r_lo / r_hi) if r_hi > 0 else eff_pair
 
     def spread(runs, key):
         v = [r["queries"][key] for r in runs]
@@ -293,10 +311,12 @@ def run_scaling(sf_dir: str) -> dict:
 
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_pair, 3),
         "unit": "ratio",
         "levels": [lo_n, hi_n],
         "reps": reps,
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "efficiency_of_medians": round(eff_rom, 3),
         "host_cpu_ratio_lo": round(r_lo, 3),
         "host_cpu_ratio_hi": round(r_hi, 3),
         "efficiency_host_normalized": round(eff_norm, 3),

@@ -74,21 +74,9 @@ class DecodePHash:
 
         # the payload column as (flat data buffer, offsets) — ZERO copies
         # of the encoded bytes; every downstream kernel works off views.
-        col = batch["bytes"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        la = col.cast(pa.large_binary())
-        offs = np.frombuffer(la.buffers()[1], dtype=np.int64)[
-            la.offset : la.offset + len(la) + 1
-        ]
-        data = la.buffers()[2]
-        flat = (
-            np.frombuffer(data, dtype=np.uint8)
-            if data is not None
-            else np.zeros(0, dtype=np.uint8)
-        )
-        starts, ends = offs[:-1], offs[1:]
-        valid = pc.is_valid(la).to_numpy(zero_copy_only=False).astype(bool)
+        from well_duplicates_ray.functions.arrowbuf import binary_column_view
+
+        flat, starts, ends, valid = binary_column_view(batch["bytes"])
 
         # vectorized decodability screen: fmt=='raw', payload present, and
         # byte length matching w*h*3 (no per-row python)

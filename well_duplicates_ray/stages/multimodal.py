@@ -1,5 +1,5 @@
-"""Multimodal (image) operators: decode / resize / feature-extract as
-actor-pool map_batches stages (SURVEY.md extension ops).
+"""Multimodal (image/video) operators: decode / resize / feature-extract /
+frame-sample as actor-pool map_batches stages (SURVEY.md extension ops).
 
 The sandbox ships no image codec libraries (PIL/opencv/ffmpeg), so the
 codec seam is explicit and honest:
@@ -10,14 +10,28 @@ codec seam is explicit and honest:
   a deployment installs a codec and registers ``decoder(fmt)``; the
   Ray-side plumbing (schema, actor signature, batch size, output layout)
   is identical either way and is what this module actually tests.
+
+All three stages are batch-vectorized: payloads are read straight off
+the Arrow binary column's flat data buffer (functions/arrowbuf.py — the
+pattern DecodePHash established), rows are grouped by (w, h) so every
+numpy kernel runs once per distinct shape, and output payload columns
+are built from one contiguous buffer + offsets. No ``to_pylist()`` of a
+payload column anywhere.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from well_duplicates_ray.config import DedupConfig
+from well_duplicates_ray.functions.arrowbuf import (
+    binary_column_view,
+    binary_from_flat,
+    binary_from_offsets,
+    gather_rows,
+)
 from well_duplicates_ray.functions.phash import (
     decode_raw,
     phash_from_gray32,
@@ -27,6 +41,8 @@ from well_duplicates_ray.functions.phash import (
 
 
 def _decode(fmt: str, buf: bytes, w: int, h: int) -> np.ndarray:
+    """Single-payload codec seam (kept for tests / external callers; the
+    batch stages below check fmt vectorized and never call this)."""
     if fmt == "raw":
         return decode_raw(buf, w, h)
     raise NotImplementedError(
@@ -35,37 +51,67 @@ def _decode(fmt: str, buf: bytes, w: int, h: int) -> np.ndarray:
     )
 
 
+def _require_fmt(batch: pa.Table, expected: str, seam: str) -> None:
+    """Vectorized codec-seam check: every row's fmt must be decodable."""
+    bad = pc.filter(
+        batch["fmt"], pc.invert(pc.coalesce(
+            pc.equal(batch["fmt"], expected), pa.scalar(False)))
+    )
+    if len(bad):
+        raise NotImplementedError(
+            f"no {seam} for fmt={bad[0].as_py()!r} in this environment; "
+            "register a decoder at this seam"
+        )
+
+
+def _shape_groups(ws: np.ndarray, hs: np.ndarray):
+    """Yield (w, h, row-index array) per distinct shape in the batch."""
+    for (w, h) in {(int(a), int(b)) for a, b in zip(ws, hs)}:
+        yield w, h, np.flatnonzero((ws == w) & (hs == h))
+
+
 class ImageResize:
     """Actor-pool stage: resize every image to (out_w, out_h), emitting a
-    raw RGB payload (mean-pool per channel; bilinear for non-divisible)."""
+    raw RGB payload (mean-pool per channel; bilinear for non-divisible).
+    One numpy kernel invocation per distinct input shape in the batch."""
 
     def __init__(self, out_w: int = 16, out_h: int = 16):
         self.out_w = out_w
         self.out_h = out_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_bufs = []
-        for buf, w, h, fmt in zip(
-            batch["bytes"].to_pylist(),
-            batch["w"].to_pylist(),
-            batch["h"].to_pylist(),
-            batch["fmt"].to_pylist(),
-        ):
-            img = _decode(fmt, buf, int(w), int(h))
-            chans = [
-                resize_gray(img[:, :, c].astype(np.float64), self.out_w)
-                for c in range(3)
-            ]
-            small = np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
-            out_bufs.append(small.tobytes())
+        _require_fmt(batch, "raw", "codec")
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        flat, starts, ends, valid = binary_column_view(batch["bytes"])
         n = batch.num_rows
+        out_side = self.out_w  # square resize (resize_gray convention)
+        rowb_out = out_side * out_side * 3
+        out_flat = np.empty(n * rowb_out, dtype=np.uint8)
+        out_rows = out_flat.reshape(n, rowb_out)
+        for w, h, idx in _shape_groups(ws, hs):
+            rowb = w * h * 3
+            if not bool(np.all((ends[idx] - starts[idx]) == rowb)):
+                raise ValueError("raw payload size mismatch in batch")
+            stack = gather_rows(flat, starts[idx], rowb).reshape(
+                idx.size, h, w, 3
+            )
+            # (m, 3, h, w): resize_gray batches over leading dims
+            chans = resize_gray(
+                np.ascontiguousarray(np.moveaxis(stack, 3, 1)).astype(
+                    np.float64
+                ),
+                out_side,
+            )
+            small = np.clip(np.moveaxis(chans, 1, 3), 0, 255).astype(np.uint8)
+            out_rows[idx] = small.reshape(idx.size, rowb_out)
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "bytes": pa.array(out_bufs, pa.binary()),
-                "w": pa.array(np.full(n, self.out_w, np.int32)),
-                "h": pa.array(np.full(n, self.out_h, np.int32)),
-                "fmt": pa.array(["raw"] * n, pa.string()),
+                "bytes": binary_from_flat(out_flat, rowb_out, n),
+                "w": pa.array(np.full(n, out_side, np.int32)),
+                "h": pa.array(np.full(n, out_side, np.int32)),
+                "fmt": pa.array(np.full(n, "raw"), pa.string()),
             }
         )
 
@@ -78,82 +124,110 @@ class VideoFrameSample:
     ``fmt='rawvid'`` payloads are ``n_frames`` raw RGB frames
     concatenated (n = len(bytes) / (w*h*3)); real containers (mp4/webm)
     raise at the same codec seam an ffmpeg-backed decoder would register
-    into. Frame extraction is a zero-copy slice of the payload."""
+    into. Frame selection is pure offset arithmetic on the flat payload
+    buffer — per-video python loops eliminated."""
 
     def __init__(self, k: int = 4):
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vid_ids, frame_idx, bufs, ws, hs = [], [], [], [], []
-        for vid, buf, w, h, fmt in zip(
-            batch["video_id"].to_pylist(),
-            batch["bytes"].to_pylist(),
-            batch["w"].to_pylist(),
-            batch["h"].to_pylist(),
-            batch["fmt"].to_pylist(),
-        ):
-            if fmt != "rawvid":
-                raise NotImplementedError(
-                    f"no container demuxer for fmt={fmt!r}; register an "
-                    "ffmpeg-backed decoder at this seam"
-                )
-            fsize = int(w) * int(h) * 3
-            n_frames = len(buf) // fsize if fsize else 0
-            if n_frames == 0:
-                continue
-            take = np.unique(
-                np.linspace(0, n_frames - 1, min(self.k, n_frames))
-                .round().astype(np.int64)
+        _require_fmt(batch, "rawvid", "container demuxer")
+        ws = batch["w"].to_numpy().astype(np.int64)
+        hs = batch["h"].to_numpy().astype(np.int64)
+        flat, starts, ends, _ = binary_column_view(batch["bytes"])
+        fsize = ws * hs * 3
+        n_frames = np.where(fsize > 0, (ends - starts) // np.maximum(fsize, 1), 0)
+
+        # per-video sample count, then a ragged (video, j) index expansion
+        k_i = np.minimum(self.k, n_frames)
+        vid_row = np.repeat(np.arange(len(k_i)), k_i)  # video per output row
+        if vid_row.size:
+            off = np.concatenate([[0], np.cumsum(k_i)[:-1]])
+            j = np.arange(vid_row.size) - off[vid_row]  # 0..k_i-1 per video
+            kv, nv = k_i[vid_row], n_frames[vid_row]
+            # round(linspace(0, n-1, k)): j*(n-1)/(k-1), k==1 -> frame 0
+            denom = np.maximum(kv - 1, 1)
+            fi = np.where(
+                kv > 1,
+                np.round(j * (nv - 1) / denom).astype(np.int64),
+                0,
             )
-            for fi in take:
-                vid_ids.append(vid)
-                frame_idx.append(int(fi))
-                bufs.append(buf[fi * fsize : (fi + 1) * fsize])
-                ws.append(int(w))
-                hs.append(int(h))
-        n = len(vid_ids)
+            # np.unique per video: linspace is monotone, so drop rows that
+            # repeat the previous frame index within the same video
+            keep = np.r_[True, (vid_row[1:] != vid_row[:-1]) | (fi[1:] != fi[:-1])]
+            vid_row, fi = vid_row[keep], fi[keep]
+        else:
+            fi = np.zeros(0, dtype=np.int64)
+
+        m = vid_row.size
+        sizes = fsize[vid_row]
+        out_offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(sizes, out=out_offsets[1:])
+        out_flat = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+        src0 = starts[vid_row] + fi * fsize[vid_row]
+        # one fancy-index gather per distinct shape (uniform rowb)
+        for w, h, grp in _shape_groups(ws[vid_row], hs[vid_row]):
+            rowb = w * h * 3
+            src = src0[grp, None] + np.arange(rowb, dtype=np.int64)[None, :]
+            dst = out_offsets[grp, None] + np.arange(rowb, dtype=np.int64)[None, :]
+            out_flat[dst.reshape(-1)] = flat[src.reshape(-1)]
+        vr = pa.array(vid_row, pa.int64())
         return pa.table(
             {
-                "video_id": pa.array(vid_ids, pa.string()),
-                "frame_idx": pa.array(frame_idx, pa.int32()),
-                "bytes": pa.array(bufs, pa.binary()),
-                "w": pa.array(ws, pa.int32()),
-                "h": pa.array(hs, pa.int32()),
-                "fmt": pa.array(["raw"] * n, pa.string()),
+                "video_id": pc.take(batch["video_id"], vr),
+                "frame_idx": pa.array(fi.astype(np.int32)),
+                "bytes": binary_from_offsets(out_flat, out_offsets),
+                "w": pc.take(batch["w"], vr),
+                "h": pc.take(batch["h"], vr),
+                "fmt": pa.array(np.full(m, "raw"), pa.string()),
             }
         )
 
 
 class ImageFeatures:
     """Actor-pool stage: per-image features — channel means/stds, luma
-    entropy (8-bin), recomputed pHash. Stateless math, stateful-shaped
-    (the codec registry would live in __init__)."""
+    entropy (8-bin), recomputed pHash. Batched per distinct shape; the
+    histogram is a searchsorted+bincount kernel with np.histogram's
+    uniform-bin edge semantics (last bin closed)."""
+
+    _EDGES = np.linspace(0.0, 255.0, 9)
 
     def __init__(self, cfg: dict | None = None):
         self.cfg = DedupConfig.from_dict(cfg) if cfg else DedupConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        means = np.zeros((batch.num_rows, 3))
-        stds = np.zeros((batch.num_rows, 3))
-        entropy = np.zeros(batch.num_rows)
-        phash = np.zeros(batch.num_rows, dtype=np.uint64)
-        for i, (buf, w, h, fmt) in enumerate(
-            zip(
-                batch["bytes"].to_pylist(),
-                batch["w"].to_pylist(),
-                batch["h"].to_pylist(),
-                batch["fmt"].to_pylist(),
+        _require_fmt(batch, "raw", "codec")
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        flat, starts, ends, _ = binary_column_view(batch["bytes"])
+        n = batch.num_rows
+        means = np.zeros((n, 3))
+        stds = np.zeros((n, 3))
+        entropy = np.zeros(n)
+        phash = np.zeros(n, dtype=np.uint64)
+        edges = self._EDGES
+        for w, h, idx in _shape_groups(ws, hs):
+            rowb = w * h * 3
+            if not bool(np.all((ends[idx] - starts[idx]) == rowb)):
+                raise ValueError("raw payload size mismatch in batch")
+            stack = gather_rows(flat, starts[idx], rowb).reshape(
+                idx.size, h, w, 3
             )
-        ):
-            img = _decode(fmt, buf, int(w), int(h))
-            means[i] = img.mean(axis=(0, 1))
-            stds[i] = img.std(axis=(0, 1))
-            gray = to_gray(img)
-            hist, _ = np.histogram(gray, bins=8, range=(0, 255))
-            p = hist / max(hist.sum(), 1)
-            nz = p[p > 0]
-            entropy[i] = float(-(nz * np.log2(nz)).sum())
-            phash[i] = phash_from_gray32(resize_gray(gray))[0]
+            means[idx] = stack.mean(axis=(1, 2))
+            stds[idx] = stack.std(axis=(1, 2))
+            gray = to_gray(stack)  # (m, h, w) float32
+            # 8-bin histogram over [0,255], all rows at once: bin index by
+            # searchsorted (right), values == 255 into the last bin
+            gi = np.searchsorted(edges, gray.reshape(idx.size, -1), "right") - 1
+            np.clip(gi, 0, 7, out=gi)
+            hist = np.bincount(
+                (gi + np.arange(idx.size)[:, None] * 8).reshape(-1),
+                minlength=idx.size * 8,
+            ).reshape(idx.size, 8)
+            p = hist / np.maximum(hist.sum(axis=1, keepdims=True), 1)
+            plog = np.where(p > 0, p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+            entropy[idx] = -plog.sum(axis=1)
+            phash[idx] = phash_from_gray32(resize_gray(gray))
         return pa.table(
             {
                 "image_id": batch["image_id"],
