@@ -11,11 +11,21 @@ Two phases, manifest-gated:
    feature parquet atomically and a lineage record. On resume, completed
    partitions are skipped at the *read* (anti-filter on partition id).
 2. ``edges`` — candidates -> verify over the signature store (the
-   expensive half of clustering), streamed to a partitioned parquet
-   directory via tmp-dir + atomic rename, keyed by the digest of the
-   signature outputs. A later failure never recomputes verification.
+   expensive half of clustering). The unit of work is a PAIR-HASH SHARD:
+   candidate pairs are hashed by mix64(a)^mix64(b) into EDGE_SHARDS
+   ranges (the same partitioning stages/candidates.py dedupe_shard_tables
+   uses), and each shard dedupes + verifies + writes its edge parquet
+   atomically with its own manifest row. A run that dies at 95% of
+   verification resumes with only the missing shards recomputed;
+   candidate-pair generation (the cheap, shuffle-free half) is re-run on
+   resume and is NOT checkpointed — only verification work is protected.
 3. ``clusters`` — iterative min-label components over the edge store,
-   streamed/renamed the same way, keyed by the edge-store digest.
+   keyed by the edge-store digest (per-shard rows_out + content md5 —
+   a same-count different-content edge store invalidates clusters). The
+   cluster table is written in CLUSTER_SHARDS partitions keyed by the
+   component id (a component never straddles shards), one manifest row
+   each; the components computation itself is global (iterative
+   min-label), so cluster resume skips completed WRITES, not the DSU.
 
 No phase funnels its data through the driver: stage outputs are
 ``Dataset.write_parquet`` directories (one part file per block), renamed

@@ -232,6 +232,61 @@ def verified_edges(
                    "hot_residual": hot_sketch_residual(hot, hot_srcs, cfg)}
 
 
+def candidate_pair_refs(
+    feats: ray.data.Dataset,
+    cfg: DedupConfig,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> tuple[list, object, dict]:
+    """Raw (pre-dedupe) candidate pair block ObjectRefs + the broadcast
+    verify bundle ref, for callers that partition verification themselves
+    — the checkpoint runner hashes (a, b) into edge shards, each with its
+    own manifest row, and dedupes/verifies per shard
+    (pipelines/checkpoint.py). Returns (pair_refs, bundle_ref|None, aux);
+    bundle_ref is None above the broadcast gate (callers fall back to the
+    shuffle verify per shard)."""
+    if n_rows is None:
+        n_rows = feats.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(n_rows)
+
+    from well_duplicates_ray.stages.verify import launch_prepare_broadcast
+
+    prepared = (
+        launch_prepare_broadcast(feats, cfg)
+        if n_rows <= cfg.broadcast_threshold
+        else None
+    )
+
+    emissions = feats.map_batches(
+        lambda t: emit_bucket_keys(t, cfg), batch_format="pyarrow"
+    ).materialize()
+    n_emissions = emissions.count()
+    hot, hot_srcs = find_hot_buckets(emissions, cfg.bucket_pair_cap,
+                                     n_emissions=n_emissions,
+                                     return_srcs=True)
+
+    from well_duplicates_ray.stages.candidates import (
+        DRIVER_COUNT_GATE,
+        hot_sketch_residual,
+        pair_shard_refs,
+    )
+
+    if n_emissions <= DRIVER_COUNT_GATE:
+        pair_refs = pair_shard_refs(emissions, hot, cfg)
+    else:
+        pairs = cold_pairs(emissions, hot, num_partitions, cfg)
+        hp = hot_pairs(emissions, hot, cfg)
+        if hp is not None:
+            pairs = pairs.union(hp)
+        pair_refs = pairs.materialize().to_arrow_refs()
+    return pair_refs, prepared, {
+        "n_hot_buckets": len(hot),
+        "num_partitions": num_partitions,
+        "hot_residual": hot_sketch_residual(hot, hot_srcs, cfg),
+    }
+
+
 def clusters_from_edges(
     edges: ray.data.Dataset,
     nodes: ray.data.Dataset,

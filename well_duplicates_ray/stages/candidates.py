@@ -433,10 +433,12 @@ def _pairs_shard(refs, shard: int, nshards: int, hot_arr: np.ndarray,
     return _pairs_table(np.concatenate(out_a), np.concatenate(out_b))
 
 
-@ray.remote
-def _dedupe_shard(pair_refs, shard: int, nshards: int) -> pa.Table:
-    """Distinct (a, b) for the pairs hashed to one shard."""
-    tabs = [t for t in ray.get(pair_refs) if t.num_rows]
+def dedupe_shard_tables(tabs, shard: int, nshards: int) -> pa.Table:
+    """Distinct (a, b) for the pairs hashed to one shard — plain-function
+    body shared by the _dedupe_shard task and the checkpoint runner's
+    per-shard edge tasks (pipelines/checkpoint.py keys its edge manifest
+    on exactly this hash partitioning)."""
+    tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return _pairs_table([], [])
     pa_, pb_ = [], []
@@ -458,6 +460,38 @@ def _dedupe_shard(pair_refs, shard: int, nshards: int) -> pa.Table:
     return _pairs_table(a[keep], b[keep])
 
 
+@ray.remote
+def _dedupe_shard(pair_refs, shard: int, nshards: int) -> pa.Table:
+    """Distinct (a, b) for the pairs hashed to one shard."""
+    return dedupe_shard_tables(ray.get(pair_refs), shard, nshards)
+
+
+def pair_shard_refs(
+    emissions: ray.data.Dataset,
+    hot: dict[int, int],
+    cfg: DedupConfig,
+    num_shards: int | None = None,
+) -> list:
+    """Launch the raw (pre-dedupe) candidate pair shard tasks and return
+    their block ObjectRefs — the first wave of sharded_pairs, exposed so
+    the checkpoint runner can consume the pair blocks with its own
+    per-shard dedupe+verify tasks (pipelines/checkpoint.py)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if num_shards is None:
+        # each pair-shard task scans every emission block (zero-copy), so
+        # total scan work grows with the shard count: CPU-count shards
+        # balance scan overhead against parallelism
+        num_shards = max(8, min(32, ncpu))
+    refs = emissions.to_arrow_refs()
+    hot_arr = np.array(sorted(hot), dtype=np.int64)
+    hot_counts = np.array([hot[int(x)] for x in hot_arr], dtype=np.int64)
+    cfg_d = cfg.to_dict()
+    return [
+        _pairs_shard.remote(refs, i, num_shards, hot_arr, hot_counts, cfg_d)
+        for i in range(num_shards)
+    ]
+
+
 def sharded_pairs(
     emissions: ray.data.Dataset,
     hot: dict[int, int],
@@ -474,22 +508,10 @@ def sharded_pairs(
     Above the gate, callers use cold_pairs/hot_pairs/dedupe_pairs (the
     10^12-scale shuffle path)."""
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    if num_shards is None:
-        # each pair-shard task scans every emission block (zero-copy), so
-        # total scan work grows with the shard count: CPU-count shards
-        # balance scan overhead against parallelism
-        num_shards = max(8, min(32, ncpu))
+    pair_refs = pair_shard_refs(emissions, hot, cfg, num_shards)
     # dedupe shards are cheap scans of the (much smaller) pair tables and
     # become the verify stage's parallelism atom — oversplit for balance
-    dedupe_shards = max(num_shards, min(64, ncpu * 2))
-    refs = emissions.to_arrow_refs()
-    hot_arr = np.array(sorted(hot), dtype=np.int64)
-    hot_counts = np.array([hot[int(x)] for x in hot_arr], dtype=np.int64)
-    cfg_d = cfg.to_dict()
-    pair_refs = [
-        _pairs_shard.remote(refs, i, num_shards, hot_arr, hot_counts, cfg_d)
-        for i in range(num_shards)
-    ]
+    dedupe_shards = max(len(pair_refs), min(64, ncpu * 2))
     dedup_refs = [
         _dedupe_shard.remote(pair_refs, i, dedupe_shards)
         for i in range(dedupe_shards)

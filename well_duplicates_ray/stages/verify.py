@@ -507,7 +507,20 @@ def prepare_broadcast(refs, cols: list[str], cfg_dict: dict) -> dict:
     # substring neighborhood probes (zero-copy view of the Arrow buffer)
     state["capbuf"], state["capoffs"] = flat_utf8(tbl["caption"])
     if "minhash" in tbl.column_names:
-        state["sig"] = _sig_matrix(tbl["minhash"], tbl.num_rows)
+        sig = _sig_matrix(tbl["minhash"], tbl.num_rows)
+        # xor-fold each 64-bit slot to one byte: the screen only compares
+        # slots for equality, and a fold collision (P = 1/256 per unequal
+        # slot) can only INFLATE the agreement estimate — i.e. pass MORE
+        # pairs to exact Jaccard, the exactness-preserving direction —
+        # while cutting the bundle's dominant array and the screen's
+        # gather bandwidth 8x (the (n,P) u64 gathers were ~2.3 s of the
+        # verify kernel at sf0.2)
+        if sig is not None:
+            sig = np.bitwise_xor.reduce(
+                sig.view(np.uint8).reshape(sig.shape[0], sig.shape[1], 8),
+                axis=2,
+            )
+        state["sig"] = sig
     if "phash" in tbl.column_names:
         state["ph"] = (
             _as_array(tbl["phash"]).to_numpy().astype(np.int64)

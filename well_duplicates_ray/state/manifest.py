@@ -36,6 +36,10 @@ SCHEMA = pa.schema(
         ("rows_out", pa.int64()),
         ("status", pa.string()),
         ("output_path", pa.string()),
+        # md5 of the written output file(s) — folded into downstream stage
+        # digests so a same-count different-content output invalidates its
+        # consumers (ADVICE r2), "" when the caller did not compute one
+        ("output_digest", pa.string()),
     ]
 )
 
@@ -53,6 +57,7 @@ def write_record(
     rows_out: int,
     output_path: str,
     status: str = "done",
+    output_digest: str = "",
 ) -> None:
     """Atomic single-row lineage record (write temp file, rename)."""
     path = record_path(manifest_dir, stage, partition_id)
@@ -66,6 +71,7 @@ def write_record(
             "rows_out": pa.array([rows_out], pa.int64()),
             "status": [status],
             "output_path": [output_path],
+            "output_digest": [output_digest],
         },
         schema=SCHEMA,
     )
