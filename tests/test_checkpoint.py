@@ -101,6 +101,57 @@ def test_checkpoint_run_and_resume(ray_session, input_parquet, tmp_path, monkeyp
     assert clusters4.equals(clusters1)
 
 
+def test_checkpoint_edge_shard_resume(ray_session, input_parquet, tmp_path,
+                                      monkeypatch):
+    """Kill mid-edges (fault injection after 2 of 4 pair-hash shards),
+    resume, and prove completed edge shards are REUSED: their lineage
+    rows are untouched (mtime + input_digest), only the missing shards
+    are computed, and the final cluster table is identical to an
+    uninterrupted run."""
+    import well_duplicates_ray.pipelines.checkpoint as C
+
+    monkeypatch.setattr(C, "ROWS_PER_PARTITION", 200)
+    monkeypatch.setattr(C, "EDGE_SHARDS", 4)
+    monkeypatch.setattr(C, "CLUSTER_SHARDS", 2)
+
+    # uninterrupted control run
+    ref = C.run_checkpointed(input_parquet, str(tmp_path / "ref"), CFG)
+    assert ref["metrics"]["edge_shards_total"] == 4
+    ref_clusters = pq.read_table(ref["clusters_path"]).sort_by("image_id")
+    assert ref_clusters.num_rows == 600
+
+    work = str(tmp_path / "work")
+    with pytest.raises(Exception, match="fault injection"):
+        C.run_checkpointed(input_parquet, work, CFG, _fail_edge_shards_ge=2)
+
+    edir = os.path.join(work, "manifest", "edges")
+    done_before = sorted(os.listdir(edir))
+    assert done_before == ["part-00000.parquet", "part-00001.parquet"]
+    mtimes = {f: os.path.getmtime(os.path.join(edir, f)) for f in done_before}
+    digests = {
+        f: pq.read_table(os.path.join(edir, f)).to_pylist()[0]["input_digest"]
+        for f in done_before
+    }
+
+    out = C.run_checkpointed(input_parquet, work, CFG)
+    m = out["metrics"]
+    assert m["partitions_reused"] == m["partitions_total"]  # phase 1 reused
+    assert m["edge_shards_reused"] == 2
+    assert m["edge_shards_computed"] == 2
+    assert m["clusters_reused"] is False
+    for f in done_before:  # completed shards not recomputed
+        assert os.path.getmtime(os.path.join(edir, f)) == mtimes[f]
+        row = pq.read_table(os.path.join(edir, f)).to_pylist()[0]
+        assert row["input_digest"] == digests[f]
+    clusters = pq.read_table(out["clusters_path"]).sort_by("image_id")
+    assert clusters.equals(ref_clusters)
+
+    # a second resume reuses every shard of every stage
+    out2 = C.run_checkpointed(input_parquet, work, CFG)
+    assert out2["metrics"]["edge_shards_reused"] == 4
+    assert out2["metrics"]["clusters_reused"] is True
+
+
 def test_checkpoint_input_change_invalidates(ray_session, input_parquet, tmp_path,
                                              monkeypatch):
     import well_duplicates_ray.pipelines.checkpoint as C

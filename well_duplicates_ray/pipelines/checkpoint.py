@@ -50,6 +50,9 @@ from well_duplicates_ray.config import DedupConfig, DEFAULT_CONFIG
 from well_duplicates_ray.state import manifest as mf
 
 ROWS_PER_PARTITION = 50_000  # row-group coalescing target per partition
+EDGE_SHARDS = 16      # pair-hash ranges in the edges stage (one manifest
+                      # row each; resume recomputes only missing shards)
+CLUSTER_SHARDS = 8    # component-id ranges in the cluster table write
 
 
 def plan_partitions(input_path: str) -> list[dict]:
@@ -124,16 +127,71 @@ class SignaturePartitionWorker:
         return pa.Table.from_pylist(rows)
 
 
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+@ray.remote
+def _edge_shard_task(
+    pair_refs,
+    shard: int,
+    nshards: int,
+    bundle_ref,
+    cfg_dict: dict,
+    out_path: str,
+    manifest_dir: str,
+    digest: str,
+    fail_ge: int | None = None,
+) -> dict:
+    """Dedupe + verify + write ONE pair-hash shard of the edges stage,
+    entirely worker-side: reads the raw pair blocks zero-copy, keeps its
+    hash range (the dedupe_shard_tables partitioning), verifies against
+    the shared broadcast bundle, writes its edge parquet atomically and
+    its own manifest row. ``fail_ge`` is fault injection for the resume
+    test (raise before doing any work for shards >= fail_ge)."""
+    if fail_ge is not None and shard >= fail_ge:
+        raise RuntimeError(f"fault injection: edge shard {shard}")
+    from well_duplicates_ray.stages.candidates import dedupe_shard_tables
+    from well_duplicates_ray.stages.verify import BroadcastVerifier
+
+    cfg = DedupConfig.from_dict(cfg_dict)
+    pairs = dedupe_shard_tables(ray.get(list(pair_refs)), shard, nshards)
+    v = BroadcastVerifier(cfg_dict, bundle_ref[0])
+    if pairs.num_rows == 0:
+        out = v(pairs)
+    else:
+        out = pa.concat_tables(
+            [v(pairs.slice(s, cfg.verify_batch_size))
+             for s in range(0, pairs.num_rows, cfg.verify_batch_size)]
+        )
+    edges = out.filter(out["is_dup"])
+    mf.atomic_write_table(edges, out_path)
+    mf.write_record(
+        manifest_dir, "edges", shard, digest,
+        rows_in=pairs.num_rows, rows_out=edges.num_rows,
+        output_path=out_path, output_digest=_file_md5(out_path),
+    )
+    return {"shard": shard, "rows_out": edges.num_rows}
+
+
 def run_checkpointed(
     input_path: str,
     work_dir: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    _fail_edge_shards_ge: int | None = None,
 ) -> dict:
     """Run (or resume) the flagship pipeline with a checkpoint manifest.
 
     Returns {'clusters_path', 'metrics'} — metrics include how many
-    signature partitions were reused vs computed (lineage evidence).
+    partitions/shards of each stage were reused vs computed (lineage
+    evidence). ``_fail_edge_shards_ge`` is test-only fault injection:
+    edge shards >= the value raise instead of running, simulating a
+    mid-verification crash.
     """
     manifest_dir = os.path.join(work_dir, "manifest")
     sig_dir = os.path.join(work_dir, "signatures")
@@ -158,7 +216,8 @@ def run_checkpointed(
             .materialize()
         )
 
-    # --- phase 2: verified edges over the signature store ----------------
+    # --- phase 2: verified edges over the signature store, one manifest
+    # row per pair-hash shard --------------------------------------------
     sig_rows = mf.read_stage(manifest_dir, "signatures")
     sig_files = [sig_rows[p["partition_id"]]["output_path"] for p in parts]
     store_digest = hashlib.md5(
@@ -171,52 +230,119 @@ def run_checkpointed(
 
     from well_duplicates_ray.pipelines.neardup import (
         auto_partitions,
+        candidate_pair_refs,
         clusters_from_edges,
-        verified_edges,
     )
 
     n_parts = num_partitions or auto_partitions(feat_rows_total)
 
-    reused_edges = bool(
-        mf.completed_partitions(manifest_dir, "edges", {0: store_digest})
-    )
-    if not reused_edges:
-        feats = ray.data.read_parquet(sig_files)
-        edges, _ = verified_edges(feats, cfg, n_parts,
-                                  n_rows=feat_rows_total)
-        mf.atomic_write_dataset(edges, edges_path)
-        mf.write_record(
-            manifest_dir, "edges", 0, store_digest,
-            rows_in=feat_rows_total,
-            rows_out=edges.count(),
-            output_path=edges_path,
+    S = EDGE_SHARDS
+    edge_digests = {
+        i: hashlib.md5(f"{store_digest}|{i}/{S}".encode()).hexdigest()
+        for i in range(S)
+    }
+    done_edges = mf.completed_partitions(manifest_dir, "edges", edge_digests)
+    pending_edges = [i for i in range(S) if i not in done_edges]
+    if pending_edges:
+        # candidate-pair generation is re-run on resume (cheap, shuffle-
+        # free below the driver gate); only per-shard VERIFICATION work —
+        # the expensive half — is protected by the manifest
+        feats = ray.data.read_parquet(sig_files).materialize()
+        pair_refs, bundle, _aux = candidate_pair_refs(
+            feats, cfg, n_parts, n_rows=feat_rows_total
         )
+        os.makedirs(edges_path, exist_ok=True)
+        if bundle is not None:
+            cfg_d = cfg.to_dict()
 
-    # --- phase 3: components over the edge store -------------------------
-    edge_rec = mf.read_stage(manifest_dir, "edges")[0]
+            def _launch(i):
+                return _edge_shard_task.remote(
+                    pair_refs, i, S, [bundle], cfg_d,
+                    os.path.join(edges_path, f"shard-{i:05d}.parquet"),
+                    manifest_dir, edge_digests[i],
+                    _fail_edge_shards_ge,
+                )
+
+            if _fail_edge_shards_ge is None:
+                ray.get([_launch(i) for i in pending_edges])
+            else:  # fault injection: sequential so the crash point is
+                for i in pending_edges:  # deterministic in the test
+                    ray.get(_launch(i))
+        else:
+            # feature table too large to broadcast: per-shard shuffle
+            # verify (each shard is its own bounded join)
+            from well_duplicates_ray.stages.candidates import _dedupe_shard
+            from well_duplicates_ray.stages.verify import verify_pairs
+
+            for i in pending_edges:
+                if (_fail_edge_shards_ge is not None
+                        and i >= _fail_edge_shards_ge):
+                    raise RuntimeError(f"fault injection: edge shard {i}")
+                shard_pairs = ray.data.from_arrow_refs(
+                    [_dedupe_shard.remote(pair_refs, i, S)]
+                )
+                edges_i = verify_pairs(
+                    shard_pairs, feats, cfg, feat_rows_total, n_parts,
+                    edges_only=True,
+                )
+                tbl = pa.concat_tables(
+                    [ray.get(r) for r in edges_i.to_arrow_refs()]
+                )
+                out_path = os.path.join(
+                    edges_path, f"shard-{i:05d}.parquet"
+                )
+                mf.atomic_write_table(tbl, out_path)
+                mf.write_record(
+                    manifest_dir, "edges", i, edge_digests[i],
+                    rows_in=shard_pairs.count(), rows_out=tbl.num_rows,
+                    output_path=out_path, output_digest=_file_md5(out_path),
+                )
+
+    # --- phase 3: components over the edge store, cluster table written
+    # in component-id partitions -----------------------------------------
+    edge_rows = mf.read_stage(manifest_dir, "edges")
+    # the edge-store digest folds each shard's row count AND content md5:
+    # a same-count different-content edge store invalidates clusters
     edges_digest = hashlib.md5(
-        f"{store_digest}|{edge_rec['rows_out']}".encode()
+        (store_digest + "|" + "|".join(
+            f"{i}:{edge_rows[i]['rows_out']}:{edge_rows[i].get('output_digest', '')}"
+            for i in range(S)
+        )).encode()
     ).hexdigest()
-    reused_clusters = bool(
-        mf.completed_partitions(manifest_dir, "clusters", {0: edges_digest})
+    total_edges = sum(edge_rows[i]["rows_out"] for i in range(S))
+
+    C = CLUSTER_SHARDS
+    cluster_digests = {
+        i: hashlib.md5(f"{edges_digest}|{i}/{C}".encode()).hexdigest()
+        for i in range(C)
+    }
+    done_clusters = mf.completed_partitions(
+        manifest_dir, "clusters", cluster_digests
     )
-    if not reused_clusters:
+    pending_clusters = [i for i in range(C) if i not in done_clusters]
+    if pending_clusters:
         nodes = ray.data.read_parquet(sig_files, columns=["node"])
-        if edge_rec["rows_out"] > 0:
+        if total_edges > 0:
             edges = ray.data.read_parquet(edges_path, columns=["a", "b"])
-        else:  # write_parquet of an empty dataset leaves nothing to read
+        else:  # all shards empty: give the components a typed empty table
             edges = ray.data.from_arrow(
                 pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64())})
             )
-        clusters = clusters_from_edges(edges, nodes, n_parts, cfg)
-        mf.atomic_write_dataset(clusters.sort("image_id"), clusters_path)
-        mf.write_record(
-            manifest_dir, "clusters", 0, edges_digest,
-            rows_in=edge_rec["rows_out"],
-            rows_out=feat_rows_total,
-            output_path=clusters_path,
-        )
+        # the components computation is global (iterative min-label);
+        # resume skips completed WRITE partitions, not the DSU itself
+        clusters = clusters_from_edges(edges, nodes, n_parts, cfg,
+                                       n_nodes=feat_rows_total)
+        crefs = clusters.materialize().to_arrow_refs()
+        os.makedirs(clusters_path, exist_ok=True)
+        ray.get([
+            _cluster_shard_task.remote(
+                crefs, i, C,
+                os.path.join(clusters_path, f"shard-{i:05d}.parquet"),
+                manifest_dir, cluster_digests[i], total_edges,
+            )
+            for i in pending_clusters
+        ])
 
     return {
         "clusters_path": clusters_path,
@@ -224,7 +350,58 @@ def run_checkpointed(
             "partitions_total": len(parts),
             "partitions_reused": len(done),
             "partitions_computed": len(pending),
-            "edges_reused": reused_edges,
-            "clusters_reused": reused_clusters,
+            "edge_shards_total": S,
+            "edge_shards_reused": len(done_edges),
+            "edge_shards_computed": len(pending_edges),
+            "edges_reused": not pending_edges,
+            "cluster_shards_total": C,
+            "cluster_shards_reused": len(done_clusters),
+            "cluster_shards_computed": len(pending_clusters),
+            "clusters_reused": not pending_clusters,
+            "n_edges": total_edges,
         },
     }
+
+
+@ray.remote
+def _cluster_shard_task(
+    cluster_refs,
+    shard: int,
+    nshards: int,
+    out_path: str,
+    manifest_dir: str,
+    digest: str,
+    rows_in: int,
+) -> int:
+    """Write ONE component-id partition of the cluster table: a component
+    never straddles shards (the shard key is a hash of the component id),
+    so each shard file is a self-contained set of whole clusters. The
+    manifest row records the REAL written row count and the file md5."""
+    import pyarrow.compute as pc
+
+    from well_duplicates_ray.functions.phash import mix64
+    from well_duplicates_ray.pipelines.neardup import ids_to_int
+
+    import numpy as np
+
+    parts = []
+    for t in ray.get(list(cluster_refs)):
+        if t.num_rows == 0:
+            continue
+        comp = ids_to_int(t["component"])
+        sel = mix64(comp.view(np.uint64), 7005) % np.uint64(nshards) == shard
+        if sel.any():
+            parts.append(t.filter(pa.array(sel)))
+    tbl = (
+        pa.concat_tables(parts).sort_by("image_id")
+        if parts
+        else pa.table({"image_id": pa.array([], pa.string()),
+                       "component": pa.array([], pa.string())})
+    )
+    mf.atomic_write_table(tbl, out_path)
+    mf.write_record(
+        manifest_dir, "clusters", shard, digest,
+        rows_in=rows_in, rows_out=tbl.num_rows,
+        output_path=out_path, output_digest=_file_md5(out_path),
+    )
+    return tbl.num_rows
