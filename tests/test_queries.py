@@ -72,3 +72,27 @@ def test_query_matches_oracle(name, ray_session, duck):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_exact_pair_group_cap_star_links_mega_group():
+    """A duplicate group above EXACT_PAIR_GROUP_CAP must emit the star
+    (m-1 hub pairs from the min id), not the O(m^2) triangle — the
+    flagship's lossless-connectivity convention applied to the SQL
+    surface (VERDICT r2 'wrong' #2)."""
+    from well_duplicates_ray.pipelines.queries import (
+        EXACT_PAIR_GROUP_CAP,
+        _pairs_from_group,
+    )
+
+    m = EXACT_PAIR_GROUP_CAP + 500
+    ids = np.random.default_rng(7).permutation(np.arange(10, 10 + m))
+    out = _pairs_from_group(ids)
+    assert out.num_rows == m - 1
+    assert out["a"].to_numpy().min() == 10
+    assert set(out["a"].to_numpy()) == {10}
+    assert sorted(out["b"].to_numpy()) == list(range(11, 10 + m))
+
+    # at-or-below cap: full triangle, a < b everywhere
+    small = _pairs_from_group(np.array([5, 3, 9]))
+    assert small.num_rows == 3
+    assert (small["a"].to_numpy() < small["b"].to_numpy()).all()

