@@ -974,10 +974,104 @@ SQL_ORACLES["neardup_documents_minhash"] = f"""
     SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
 """
 
+# SimHash / OPH-MinHash restated in DuckDB (VERDICT r2 next-round #4):
+# the seeded sketches are deterministic functions of the document bytes,
+# so the whole pipeline — k-byte rolling polynomial hash + murmur-fmix
+# finalizer (functions/text.py::_rolling_hash), splitmix64 remix
+# (phash.py::mix64), top-bit binning, min-per-bin and rotation
+# densification (text.py::oph_minhash_signatures), per-bit +-1 voting
+# (text.py::simhash_from_shingles) — is restated in HUGEINT mod-2^64 /
+# UBIGINT bitwise SQL. 64x64-bit multiplies split at 32 bits so the
+# int128 intermediates never overflow; ord() == the byte for the
+# ASCII-only documents table (same assumption as doc_rolling_fingerprint).
+
+
+def _mulmod64(z: str, c: int) -> str:
+    """SQL for (z * c) mod 2^64, z a UBIGINT column, c a 64-bit constant."""
+    return (
+        f"((( ({z} & 4294967295)::HUGEINT * {c} )"
+        f" + ((( ({z} >> 32)::HUGEINT * {c} ) % 4294967296) * 4294967296))"
+        f" % {_M64})::UBIGINT"
+    )
+
+
+def _sketch_oracles() -> tuple[str, str]:
+    from well_duplicates_ray.functions.text import _B
+
+    b, k, perms = int(_B), CFG.shingle_k, CFG.minhash_perms
+    m = 1 << 64
+    shift = 64 - int(np.log2(perms))
+    fmix_c = 0xFF51AFD7ED558CCD
+    salt_add = ((9100 + CFG.seed) * 0x6A09E667F3BCC909) % m
+    hop = 0x9E3779B97F4A7C15
+    poly = " + ".join(
+        f"ord(substr(t, i+{j}, 1))::HUGEINT * {pow(b, k - 1 - j, m)}"
+        for j in range(k)
+    )
+    shingle_cte = f"""
+    d AS (SELECT doc_id, COALESCE(text,'') AS t FROM documents),
+    w AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-{k - 1}))::BIGINT AS i
+          FROM d WHERE len(t) >= {k}),
+    r0 AS (SELECT doc_id, (({poly}) % {_M64})::UBIGINT AS a FROM w),
+    r1 AS (SELECT doc_id, xor(a, a >> 33) AS a FROM r0),
+    r2 AS (SELECT doc_id, {_mulmod64('a', fmix_c)} AS a FROM r1),
+    hh AS (SELECT doc_id, xor(a, a >> 33) AS h FROM r2)"""
+    to_i64 = (
+        "CAST(CASE WHEN {v} IS NULL THEN -1 "
+        f"WHEN {{v}} >= 9223372036854775808::UBIGINT "
+        f"THEN {{v}}::HUGEINT - {_M64}::HUGEINT "
+        "ELSE {v}::HUGEINT END AS BIGINT)"
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h >> {bit}) & 1) = 1 THEN 1 ELSE -1 END) AS s{bit}"
+        for bit in range(64)
+    )
+    code = " + ".join(
+        f"CASE WHEN s{bit} > 0 THEN {1 << bit}::HUGEINT ELSE 0::HUGEINT END"
+        for bit in range(64)
+    )
+    simhash_sql = f"""
+    WITH {shingle_cte},
+    v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id),
+    c AS (SELECT doc_id, (({code}) % {_M64})::UBIGINT AS hv FROM v)
+    SELECT d.doc_id, {to_i64.format(v='c.hv')} AS simhash
+    FROM d LEFT JOIN c USING (doc_id)
+    """
+    minhash_sql = f"""
+    WITH {shingle_cte},
+    m0 AS (SELECT doc_id, ((h::HUGEINT + {salt_add}) % {_M64})::UBIGINT AS z FROM hh),
+    m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+    m2 AS (SELECT doc_id, {_mulmod64('z', 0xBF58476D1CE4E5B9)} AS z FROM m1),
+    m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+    m4 AS (SELECT doc_id, {_mulmod64('z', 0x94D049BB133111EB)} AS z FROM m3),
+    mh AS (SELECT doc_id, xor(z, z >> 31) AS mh FROM m4),
+    binned AS (SELECT doc_id, (mh >> {shift})::BIGINT AS bin, min(mh) AS mv
+               FROM mh GROUP BY 1, 2),
+    slots AS (SELECT doc_id, unnest(generate_series(0, {perms - 1}))::BIGINT AS slot
+              FROM d),
+    dens AS (SELECT s.doc_id, s.slot,
+                    min((s.slot - b.bin + {perms}) % {perms}) AS dist,
+                    arg_min(b.mv, (s.slot - b.bin + {perms}) % {perms}) AS bv
+             FROM slots s JOIN binned b USING (doc_id) GROUP BY 1, 2),
+    val AS (SELECT doc_id, slot,
+                   ((bv::HUGEINT + dist::HUGEINT * {hop}) % {_M64})::UBIGINT AS v
+            FROM dens)
+    SELECT s.doc_id, s.slot, {to_i64.format(v='v.v')} AS minhash
+    FROM slots s LEFT JOIN val v USING (doc_id, slot)
+    """
+    return simhash_sql, minhash_sql
+
+
+SQL_ORACLES["simhash_documents"], SQL_ORACLES["minhash_documents"] = (
+    _sketch_oracles()
+)
+
+
 # ---------------------------------------------------------------------------
-# Rows-only ops (no SQL equivalent): near-dup clustering, sketches, model
-# scoring, multimodal stages. The driver records the weaker rows-only check;
-# tests/ verify their semantics against brute-force oracles instead.
+# Rows-only ops (no SQL equivalent): near-dup clustering, model scoring,
+# approximate ANN, multimodal stages. The driver records the weaker
+# rows-only check; tests/ verify their semantics against brute-force
+# oracles instead.
 # ---------------------------------------------------------------------------
 
 
@@ -1030,18 +1124,31 @@ def simhash_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 def minhash_documents(sf_dir: str) -> ray.data.Dataset:
-    """Full 128-slot MinHash signature per document (list<int64> column)."""
+    """Full 128-slot OPH MinHash signature per document, slot-exploded to
+    (doc_id, slot, minhash) rows so the seeded deterministic sketch is
+    SQL-checkable bit-for-bit (SQL_ORACLES['minhash_documents'] restates
+    the mix64 / top-bit binning / rotation-densification arithmetic in
+    HUGEINT mod-2^64 DuckDB SQL)."""
     from well_duplicates_ray.pipelines.text_neardup import build_text_features
+
+    perms = CFG.minhash_perms
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["node"].to_numpy()
+        vals = t["minhash"].combine_chunks().flatten().to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, perms)),
+                "slot": pa.array(np.tile(np.arange(perms, dtype=np.int64),
+                                         len(ids))),
+                "minhash": pa.array(vals),
+            }
+        )
 
     feats = build_text_features(
         _read(sf_dir, "documents", ["doc_id", "text"]), CFG
     )
-    return feats.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["image_id"].cast(pa.int64()), "minhash": t["minhash"]}
-        ),
-        batch_format="pyarrow",
-    )
+    return feats.map_batches(explode, batch_format="pyarrow")
 
 
 def langid_documents(sf_dir: str) -> ray.data.Dataset:
