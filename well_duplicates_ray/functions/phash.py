@@ -202,21 +202,44 @@ def phash_raw_batch(bufs, ws, hs) -> np.ndarray:
     return out
 
 
-def popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bit_count)."""
-    x = x.astype(np.uint64, copy=True)
+def _popcount64_consume(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount that MUTATES its uint64 input and returns it viewed
+    int64 (values <= 64, so the reinterpret is safe). Two scratch-free
+    buffers total where the naive expression allocated ~8 temporaries —
+    on this substrate fresh pages cost more than the arithmetic
+    (BASELINE.md substrate probes)."""
     m1 = np.uint64(0x5555555555555555)
     m2 = np.uint64(0x3333333333333333)
     m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
     h01 = np.uint64(0x0101010101010101)
-    x = x - ((x >> np.uint64(1)) & m1)
-    x = (x & m2) + ((x >> np.uint64(2)) & m2)
-    x = (x + (x >> np.uint64(4))) & m4
-    return ((x * h01) >> np.uint64(56)).astype(np.int64)
+    t = x >> np.uint64(1)
+    t &= m1
+    x -= t
+    np.right_shift(x, np.uint64(2), out=t)
+    t &= m2
+    x &= m2
+    x += t
+    np.right_shift(x, np.uint64(4), out=t)
+    x += t
+    x &= m4
+    x *= h01
+    x >>= np.uint64(56)
+    return x.view(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bit_count)."""
+    return _popcount64_consume(x.astype(np.uint64, copy=True))
+
+
+def _as_u64(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a)
+    # 8-byte ints reinterpret zero-copy (int64 wraps mod 2^64 identically)
+    return a.view(np.uint64) if a.dtype.itemsize == 8 else a.astype(np.uint64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return popcount64(np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64)))
+    return _popcount64_consume(np.bitwise_xor(_as_u64(a), _as_u64(b)))
 
 
 def prefix_bands(x: np.ndarray, n_bands: int) -> np.ndarray:

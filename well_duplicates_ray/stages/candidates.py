@@ -181,17 +181,21 @@ def find_hot_buckets(
         # Parallel two-pass exact count (a single driver-side value_counts
         # was ~2 s of serial time at 3.7M emissions — a pure constant in
         # the scaling profile). Shard the block refs over tasks:
-        #   pass 1: per-shard value_counts, keep buckets seen >=2 in that
-        #           shard. SOUND superset of the hot set whenever
-        #           cap >= nshards: a bucket with global count > cap must
-        #           land >=2 in some shard (pigeonhole).
+        #   pass 1: per-shard value_counts, keep buckets seen >= ceil(
+        #           (cap+1)/nshards) times in that shard. SOUND superset
+        #           of the hot set by pigeonhole: if every shard saw a
+        #           bucket fewer times, its global count would be <= cap.
+        #           (min_count=2 was sound too but admitted ~500k
+        #           candidates at 18M emissions; the tight bound admits
+        #           hundreds, making pass 2 ~free.)
         #   pass 2: exact global counts for those candidates only
-        #           (vectorized index_in + bincount per shard).
+        #           (sorted-array searchsorted + bincount per shard).
         refs = emissions.to_arrow_refs()
         nshards = max(1, min(16, cap, len(refs)))
         groups = [refs[i::nshards] for i in range(nshards)]
 
-        cand_refs = [_hot_shard_candidates.remote(g, 2) for g in groups]
+        min_count = max(2, (cap + nshards) // nshards)
+        cand_refs = [_hot_shard_candidates.remote(g, min_count) for g in groups]
         cands = np.unique(
             np.concatenate([r for r in _ray.get(cand_refs)]
                            or [np.zeros(0, np.int64)])
@@ -274,19 +278,20 @@ def _hot_shard_candidates(refs, min_count: int) -> np.ndarray:
 @ray.remote
 def _hot_shard_counts(refs, cands: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-candidate-bucket (exact count, max src) over one shard of
-    emission blocks."""
-    import pyarrow.compute as pc_
-
+    emission blocks. ``cands`` is sorted (np.unique upstream), so the
+    probe is a branch-free searchsorted per block — pc.index_in rebuilt a
+    hash table of the candidate set per call, ~11 s at 534k candidates
+    x 200 blocks."""
     tabs = [t for t in ray.get(refs) if t.num_rows]
     counts = np.zeros(len(cands), dtype=np.int64)
     srcmax = np.full(len(cands), -1, dtype=np.int64)
-    value_set = pa.array(cands, pa.int64())
+    hi = len(cands) - 1
     for t in tabs:
-        pos = pc_.index_in(t["bucket"], value_set=value_set)
-        posn = pos.combine_chunks() if isinstance(pos, pa.ChunkedArray) else pos
-        posv = posn.to_numpy(zero_copy_only=False)
-        valid = ~posn.is_null().to_numpy(zero_copy_only=False)
-        idx = posv[valid].astype(np.int64)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cands, b)
+        np.clip(pos, 0, hi, out=pos)
+        valid = cands[pos] == b
+        idx = pos[valid]
         counts += np.bincount(idx, minlength=len(cands))
         src = t["src"].to_numpy(zero_copy_only=False)[valid].astype(np.int64)
         np.maximum.at(srcmax, idx, src)
@@ -311,12 +316,67 @@ def _tri_pairs(order_vals: np.ndarray, seg_starts: np.ndarray,
     return order_vals[left], order_vals[right]
 
 
+def _dedup_sorted_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (a, b), returned in sorted order. Packs both ids into one
+    uint64 when they fit in 31 bits (single radix-friendly np.unique —
+    ~3x faster than lexsort and half the temporaries, which matters on
+    this substrate where fresh pages cost more than compute)."""
+    if a.size == 0:
+        return a, b
+    if (
+        a.max() < 2**31 and b.max() < 2**31
+        and a.min() >= 0 and b.min() >= 0
+    ):
+        packed = np.unique(
+            (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        )
+        return (
+            (packed >> np.uint64(32)).astype(np.int64),
+            (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        )
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return a[keep], b[keep]
+
+
+_OFFSETS_META = b"wd_dedupe_offsets"
+_NSHARDS_META = b"wd_dedupe_nshards"
+
+
+def _pair_shard_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return mix64(a.view(np.uint64), 7003) ^ mix64(b.view(np.uint64), 7004)
+
+
+def _partitioned_pairs_table(a: np.ndarray, b: np.ndarray,
+                             dedupe_nshards: int) -> pa.Table:
+    """Pair table ordered by dedupe-shard hash, with per-shard slice
+    offsets in the schema metadata: the dedupe wave slices its shard
+    zero-copy instead of re-scanning (and re-hashing) every block."""
+    if a.size == 0 or dedupe_nshards <= 1:
+        return _pairs_table(a, b)
+    shard_of = (_pair_shard_hash(a, b)
+                % np.uint64(dedupe_nshards)).astype(np.int64)
+    order = np.argsort(shard_of, kind="stable")
+    a, b = a[order], b[order]
+    counts = np.bincount(shard_of, minlength=dedupe_nshards)
+    offsets = np.zeros(dedupe_nshards + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return _pairs_table(a, b).replace_schema_metadata({
+        _OFFSETS_META: offsets.tobytes(),
+        _NSHARDS_META: str(dedupe_nshards).encode(),
+    })
+
+
 @ray.remote
 def _pairs_shard(refs, shard: int, nshards: int, hot_arr: np.ndarray,
-                 hot_counts: np.ndarray, cfg_dict: dict) -> pa.Table:
+                 hot_counts: np.ndarray, cfg_dict: dict,
+                 dedupe_nshards: int = 0) -> pa.Table:
     """Pairs for the buckets hashed to one shard: cold buckets emit all
     confirmed pairs; hot buckets run the salted sub-bucket logic. Pure
-    numpy over zero-copy plasma reads — no Ray Data shuffle."""
+    numpy over zero-copy plasma reads — no Ray Data shuffle. Output is
+    task-distinct and (when dedupe_nshards > 0) pre-partitioned by the
+    dedupe-shard hash with slice offsets in the table metadata."""
     from well_duplicates_ray.functions.phash import hamming64
 
     cfg = DedupConfig.from_dict(cfg_dict)
@@ -362,19 +422,58 @@ def _pairs_shard(refs, shard: int, nshards: int, hot_arr: np.ndarray,
         sb = cb[order]
         seg = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
         sizes = np.diff(np.r_[seg, sb.size])
-        li, ri = _tri_pairs(order, seg, sizes)
-        nl, nr = cn[li], cn[ri]
-        s = cs[li]
-        ham = hamming64(cc[li], cc[ri])
-        keep = (nl != nr) & (
-            (s == SRC_PLAIN)
-            | (s == SRC_EXACT)
-            | ((s == SRC_PHASH) & (ham <= cfg.phash_radius))
-            | ((s == SRC_SIMHASH) & (ham <= cfg.simhash_radius))
-        )
-        nl, nr = nl[keep], nr[keep]
-        out_a.append(np.minimum(nl, nr))
-        out_b.append(np.maximum(nl, nr))
+
+        # MEMBER-SET DEDUPE: a tight near-dup pair co-buckets in ~20 of
+        # the 32 LSH bands plus the ring bands and winnow anchors, so the
+        # same 2-member set is enumerated ~25x (160M raw pairs for 6.3M
+        # distinct at sf0.5 — and on this substrate the fresh pages for
+        # those throwaway arrays cost more than the compute). Segments
+        # with the same predicate class and the same member multiset
+        # generate identical pair sets; hash each segment with two
+        # independent order-invariant 64-bit sums (collision odds across
+        # s segments ~ s^2/2^129 — nil) and enumerate one per distinct
+        # key. Class folds the confirm semantics: PLAIN/EXACT emit
+        # unconditionally; PHASH/SIMHASH confirm on the full code, which
+        # is a function of the member nodes, so equal sets => equal
+        # predicate outcomes.
+        multi = sizes > 1  # singleton buckets generate nothing
+        if multi.any():
+            nodes_s = cn[order].view(np.uint64)
+            h1 = np.add.reduceat(mix64(nodes_s, 9101), seg)[multi]
+            h2 = np.add.reduceat(mix64(nodes_s, 9102), seg)[multi]
+            s_seg = cs[order[seg[multi]]].astype(np.uint64)
+            cls = np.where(s_seg == SRC_PHASH, 1,
+                           np.where(s_seg == SRC_SIMHASH, 2, 0)).astype(np.uint64)
+            salt = mix64(cls | (sizes[multi].astype(np.uint64) << np.uint64(2)),
+                         9103)
+            k1 = mix64(h1 ^ salt, 9104)
+            k2 = mix64(h2 ^ salt, 9105)
+            sord = np.lexsort((k2, k1))
+            k1s, k2s = k1[sord], k2[sord]
+            first = np.r_[True, (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
+            kept = np.sort(sord[first])
+            seg_k = seg[multi][kept]
+            sizes_k = sizes[multi][kept]
+            # compact the kept segments: _tri_pairs requires a contiguous
+            # layout (its right-element index is position-in-subset)
+            from well_duplicates_ray.functions.text import _segment_arange
+
+            el_idx = np.repeat(seg_k, sizes_k) + _segment_arange(sizes_k)
+            fstarts = np.zeros(sizes_k.size, dtype=np.int64)
+            np.cumsum(sizes_k[:-1], out=fstarts[1:])
+            li, ri = _tri_pairs(order[el_idx], fstarts, sizes_k)
+            nl, nr = cn[li], cn[ri]
+            s = cs[li]
+            ham = hamming64(cc[li], cc[ri])
+            keep = (nl != nr) & (
+                (s == SRC_PLAIN)
+                | (s == SRC_EXACT)
+                | ((s == SRC_PHASH) & (ham <= cfg.phash_radius))
+                | ((s == SRC_SIMHASH) & (ham <= cfg.simhash_radius))
+            )
+            nl, nr = nl[keep], nr[keep]
+            out_a.append(np.minimum(nl, nr))
+            out_b.append(np.maximum(nl, nr))
 
     # --- hot buckets: salted sub-buckets (same logic as hot_pairs) -------
     hb, hn, hs = bucket[is_hot], node[is_hot], src[is_hot]
@@ -430,34 +529,47 @@ def _pairs_shard(refs, shard: int, nshards: int, hot_arr: np.ndarray,
 
     if not out_a:
         return _pairs_table([], [])
-    return _pairs_table(np.concatenate(out_a), np.concatenate(out_b))
+    a, b = _dedup_sorted_pairs(np.concatenate(out_a), np.concatenate(out_b))
+    return _partitioned_pairs_table(a, b, dedupe_nshards)
 
 
 def dedupe_shard_tables(tabs, shard: int, nshards: int) -> pa.Table:
     """Distinct (a, b) for the pairs hashed to one shard — plain-function
     body shared by the _dedupe_shard task and the checkpoint runner's
     per-shard edge tasks (pipelines/checkpoint.py keys its edge manifest
-    on exactly this hash partitioning)."""
+    on exactly this hash partitioning).
+
+    Blocks written by _pairs_shard with a matching dedupe_nshards carry
+    per-shard slice offsets in their metadata: this task then slices its
+    rows zero-copy instead of re-hashing every row of every block (the
+    full rescan cost O(nshards x total pairs) — 83 GB of scan at sf0.5
+    before the pre-partitioning)."""
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return _pairs_table([], [])
     pa_, pb_ = [], []
     for t in tabs:
+        meta = t.schema.metadata or {}
+        if meta.get(_NSHARDS_META) == str(nshards).encode():
+            offsets = np.frombuffer(meta[_OFFSETS_META], dtype=np.int64)
+            lo, hi = int(offsets[shard]), int(offsets[shard + 1])
+            if hi > lo:
+                sl = t.slice(lo, hi - lo)
+                pa_.append(sl["a"].to_numpy(zero_copy_only=False))
+                pb_.append(sl["b"].to_numpy(zero_copy_only=False))
+            continue
         ta = t["a"].to_numpy(zero_copy_only=False)
         tb = t["b"].to_numpy(zero_copy_only=False)
-        h = mix64(ta.view(np.uint64), 7003) ^ mix64(tb.view(np.uint64), 7004)
-        sel = np.flatnonzero(h % np.uint64(nshards) == shard)
+        sel = np.flatnonzero(
+            _pair_shard_hash(ta, tb) % np.uint64(nshards) == shard
+        )
         if sel.size:
             pa_.append(ta[sel])
             pb_.append(tb[sel])
     if not pa_:
         return _pairs_table([], [])
-    a = np.concatenate(pa_)
-    b = np.concatenate(pb_)
-    order = np.lexsort((b, a))
-    a, b = a[order], b[order]
-    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-    return _pairs_table(a[keep], b[keep])
+    a, b = _dedup_sorted_pairs(np.concatenate(pa_), np.concatenate(pb_))
+    return _pairs_table(a, b)
 
 
 @ray.remote
@@ -466,30 +578,46 @@ def _dedupe_shard(pair_refs, shard: int, nshards: int) -> pa.Table:
     return dedupe_shard_tables(ray.get(pair_refs), shard, nshards)
 
 
+def _auto_pair_shards(n_emissions: int) -> int:
+    """Pair-shard count sized to the DATA, not the CPU count: each task
+    scans every emission block (zero-copy), so total scan work is
+    O(num_shards x emissions) — tying it to the cluster size would make
+    the 4N-CPU run do 4x the scan work of the N-CPU run on identical
+    input (an artificial anti-scaling term). ~1M emission rows per shard
+    keeps a task's working set in the tens of MB."""
+    return int(max(8, min(64, n_emissions // 1_000_000)))
+
+
 def pair_shard_refs(
     emissions: ray.data.Dataset,
     hot: dict[int, int],
     cfg: DedupConfig,
     num_shards: int | None = None,
+    dedupe_nshards: int = 0,
 ) -> list:
     """Launch the raw (pre-dedupe) candidate pair shard tasks and return
     their block ObjectRefs — the first wave of sharded_pairs, exposed so
     the checkpoint runner can consume the pair blocks with its own
-    per-shard dedupe+verify tasks (pipelines/checkpoint.py)."""
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    per-shard dedupe+verify tasks (pipelines/checkpoint.py). Blocks are
+    task-distinct; with dedupe_nshards they are additionally hash-range
+    ordered with slice offsets in the metadata (see dedupe_shard_tables)."""
     if num_shards is None:
-        # each pair-shard task scans every emission block (zero-copy), so
-        # total scan work grows with the shard count: CPU-count shards
-        # balance scan overhead against parallelism
-        num_shards = max(8, min(32, ncpu))
+        num_shards = _auto_pair_shards(emissions.count())
     refs = emissions.to_arrow_refs()
     hot_arr = np.array(sorted(hot), dtype=np.int64)
     hot_counts = np.array([hot[int(x)] for x in hot_arr], dtype=np.int64)
     cfg_d = cfg.to_dict()
     return [
-        _pairs_shard.remote(refs, i, num_shards, hot_arr, hot_counts, cfg_d)
+        _pairs_shard.remote(refs, i, num_shards, hot_arr, hot_counts, cfg_d,
+                            dedupe_nshards)
         for i in range(num_shards)
     ]
+
+
+DEDUPE_SHARDS = 32  # pair-hash ranges in the dedupe wave (data-independent
+                    # so both legs of a scaling pair do identical work; the
+                    # slice-offset metadata makes per-task cost O(1/32) of
+                    # the pair volume regardless of the count)
 
 
 def sharded_pairs(
@@ -507,14 +635,11 @@ def sharded_pairs(
     that cost 10-20 s of mostly CPU-count-independent overhead at sf0.1.
     Above the gate, callers use cold_pairs/hot_pairs/dedupe_pairs (the
     10^12-scale shuffle path)."""
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pair_refs = pair_shard_refs(emissions, hot, cfg, num_shards)
-    # dedupe shards are cheap scans of the (much smaller) pair tables and
-    # become the verify stage's parallelism atom — oversplit for balance
-    dedupe_shards = max(len(pair_refs), min(64, ncpu * 2))
+    pair_refs = pair_shard_refs(emissions, hot, cfg, num_shards,
+                                dedupe_nshards=DEDUPE_SHARDS)
     dedup_refs = [
-        _dedupe_shard.remote(pair_refs, i, dedupe_shards)
-        for i in range(dedupe_shards)
+        _dedupe_shard.remote(pair_refs, i, DEDUPE_SHARDS)
+        for i in range(DEDUPE_SHARDS)
     ]
     return ray.data.from_arrow_refs(dedup_refs)
 
