@@ -143,6 +143,13 @@ def emit_bucket_keys(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
             "node": nodes.take(pa.array(all_rows)),
             "src": pa.array(np.concatenate(srcs)),
             "code": pa.array(np.concatenate(codes)),
+            # persisted pair-shard key (bucket mod 128): the pair shard
+            # tasks select their rows with a 1-byte scan instead of
+            # re-hashing the 8-byte bucket column num_shards times
+            "pshard": pa.array(
+                (all_keys.view(np.uint64)
+                 % np.uint64(PAIR_SHARD_SPACE)).astype(np.uint8)
+            ),
         }
     )
 
@@ -191,7 +198,11 @@ def find_hot_buckets(
         #   pass 2: exact global counts for those candidates only
         #           (sorted-array searchsorted + bincount per shard).
         refs = emissions.to_arrow_refs()
-        nshards = max(1, min(16, cap, len(refs)))
+        # ~1M emission rows per count task, several waves per worker (one
+        # 16-task wave meant one cold-arena task per worker at 16 CPUs —
+        # the wave-granularity rule of _auto_pair_shards applies here too)
+        target = (n_emissions // 1_000_000) + 1 if n_emissions else 1
+        nshards = max(1, min(64, target, cap, len(refs)))
         groups = [refs[i::nshards] for i in range(nshards)]
 
         min_count = max(2, (cap + nshards) // nshards)
@@ -389,9 +400,17 @@ def _pairs_shard(refs, shard: int, nshards: int, hot_arr: np.ndarray,
     # of rows this shard keeps (a full concat per task cost ~0.9 s x k
     # tasks at 3.7M emissions)
     parts: list[list[np.ndarray]] = [[], [], [], []]
+    use_pshard = (
+        PAIR_SHARD_SPACE % nshards == 0
+        and all("pshard" in t.column_names for t in tabs)
+    )
     for t in tabs:
         bk = t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
-        sel = np.flatnonzero(bk % np.uint64(nshards) == shard)
+        if use_pshard:
+            ps = t["pshard"].to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(ps % np.uint8(nshards) == shard)
+        else:
+            sel = np.flatnonzero(bk % np.uint64(nshards) == shard)
         if sel.size == 0:
             continue
         parts[0].append(bk[sel])
@@ -578,14 +597,24 @@ def _dedupe_shard(pair_refs, shard: int, nshards: int) -> pa.Table:
     return dedupe_shard_tables(ray.get(pair_refs), shard, nshards)
 
 
+PAIR_SHARD_SPACE = 128  # fixed modulus for the persisted pshard column
+
+
 def _auto_pair_shards(n_emissions: int) -> int:
-    """Pair-shard count sized to the DATA, not the CPU count: each task
-    scans every emission block (zero-copy), so total scan work is
-    O(num_shards x emissions) — tying it to the cluster size would make
-    the 4N-CPU run do 4x the scan work of the N-CPU run on identical
-    input (an artificial anti-scaling term). ~1M emission rows per shard
-    keeps a task's working set in the tens of MB."""
-    return int(max(8, min(64, n_emissions // 1_000_000)))
+    """Pair-shard count sized to the DATA, not the CPU count: tying it to
+    the cluster size would make the 4N-CPU run do 4x the scan work of the
+    N-CPU run on identical input (an artificial anti-scaling term).
+
+    ~250k emission rows per shard, power of two in [16, 128]: small tasks
+    run in several waves per worker, so after the first wave every
+    worker's malloc arena is warm — on this sandbox (and any busy multi-
+    tenant host) fresh-page zeroing is globally serialized, and one-task-
+    per-worker waves pay it on every allocation at high CPU counts (the
+    measured 16-CPU anti-scaling of the former 1M-rows/shard sizing).
+    Power of two so the persisted ``pshard`` column (bucket mod 128)
+    refines evenly: shard_of = pshard mod num_shards."""
+    target = max(16, min(128, n_emissions // 250_000))
+    return 1 << int(np.log2(max(target, 1)))
 
 
 def pair_shard_refs(
@@ -653,6 +682,8 @@ def cold_pairs(
     """All-pairs within non-hot buckets via a hash-partitioned self-join
     (vectorized; singleton buckets only produce self-pairs, filtered out)."""
     cold = emissions
+    if "pshard" in emissions.schema().names:  # shard key never shuffles
+        cold = cold.select_columns(["bucket", "node", "src", "code"])
     if hot:
         hot_arr = np.array(sorted(hot), dtype=np.int64)
 
