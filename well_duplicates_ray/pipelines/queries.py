@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from well_duplicates_ray.config import DedupConfig
 
@@ -677,6 +677,382 @@ def embedding_neardup_cosine(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Relational shapes round 3: outer join, multi-way join, pivot, rollup,
+# histogram, EXCEPT, argmax-per-group, grouped distinct count, union-all,
+# exact quantiles. Each is the idiomatic Ray Data form of a shape the
+# reference never needed (SURVEY.md §2.A "not present") but a user of a
+# general data-processing engine expects.
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(value*100) as int64 — both sides (numpy/Arrow and DuckDB)
+    compute the same IEEE-double product then floor, so the quantized
+    value is bit-identical and integer sums are order-independent."""
+    return pc.cast(pc.floor(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+BIG_STATS_CUTOFF = 400_000  # ~14% of orders; ~200 customers have none
+
+
+def customer_order_stats(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join + group: every customer with their count of
+    big-ticket orders (0 when none) and the max such price in cents
+    (NULL when none) — the filter guarantees both outer branches fire.
+
+    Scale shape: the fact table (orders) is filtered at the read and
+    pre-aggregated by key — a distributed groupby that shrinks it to
+    <= |customer| rows — and only then hash-joined to the dimension, so
+    the wide side never shuffles raw rows twice."""
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {
+                        "c_custkey": f["o_custkey"],
+                        "price_cents": _cents(f["o_totalprice"]),
+                    }
+                )
+            )(t.filter(pc.greater(t["o_totalprice"], BIG_STATS_CUTOFF))),
+            batch_format="pyarrow",
+        )
+        .groupby("c_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Max("price_cents", alias_name="max_price_cents"),
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(agg, "left_outer", 16, on=("c_custkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t["n_orders"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": n,
+                "max_price_cents": t["max_price_cents"],
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+TOP_REVENUE_SEGMENT = "BUILDING"
+TOP_REVENUE_CUTOFF = "1995-03-15"
+
+
+def top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
+    """Multi-way join + group + top-k (TPC-H Q3 shape): revenue (cents) of
+    unshipped-window orders for one market segment.
+
+    Scale shape: the customer keys for the segment are a broadcast set
+    (dimension-sized, ray.put once, pc.is_in probe inside map_batches);
+    lineitem revenue is pre-aggregated per orderkey in a distributed
+    groupby BEFORE the orderkey join, so the join moves one row per order,
+    not one per lineitem. The final sort+limit is a distributed top-k."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], TOP_REVENUE_SEGMENT)
+    )["c_custkey"].combine_chunks()
+    kref = ray.put(seg_keys)
+    cutoff = pa.scalar(pd.Timestamp(TOP_REVENUE_CUTOFF), pa.timestamp("us"))
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = pc.and_(
+            pc.fill_null(pc.is_in(t["o_custkey"], value_set=ks), False),
+            pc.less(t["o_orderdate"], cutoff),
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"]}
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(filt_orders, batch_format="pyarrow")
+
+    def rev(t: pa.Table) -> pa.Table:
+        gross = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_cents": _cents(gross)}
+        )
+
+    li = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
+    return (
+        li.join(orders, "inner", 16, on=("l_orderkey",))
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def order_priority_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Conditional aggregation / pivot: per order priority, one count
+    column per order status — indicator columns built vectorized in
+    map_batches (a partial aggregate), then a narrow groupby-sum."""
+
+    def indicators(t: pa.Table) -> pa.Table:
+        s = t["o_orderstatus"]
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_f": pc.if_else(pc.equal(s, "F"), one, zero),
+                "n_o": pc.if_else(pc.equal(s, "O"), one, zero),
+                "n_p": pc.if_else(pc.equal(s, "P"), one, zero),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+        .map_batches(indicators, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_f", alias_name="n_f"),
+            Sum("n_o", alias_name="n_o"),
+            Sum("n_p", alias_name="n_p"),
+        )
+    )
+
+
+def orders_monthly(sf_dir: str) -> ray.data.Dataset:
+    """Calendar rollup: orders per month with integer-exact cent totals
+    (date_trunc is a vectorized Arrow kernel; sum of int64 cents is
+    order-independent, so the value hash is stable)."""
+
+    def add_month(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month").cast(
+            pa.timestamp("us")
+        )
+        return pa.table(
+            {"month": month, "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(add_month, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
+HIST_BIN_WIDTH = 10.0
+
+
+def value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-width histogram over events.value: floor(value/width) bin ids
+    + counts. The binning is a stateless vectorized map (the partial
+    aggregate); only (bin, count) partials shuffle."""
+
+    def bin_of(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(t["value"], pa.scalar(HIST_BIN_WIDTH))),
+            pa.int64(),
+        )
+        return pa.table({"bin": b})
+
+    return (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(bin_of, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+RICH_ACCTBAL = 9000.0  # non-empty EXCEPT on the testdata (18 nations)
+
+
+def nations_customers_except_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT set op: nation keys with a rich customer but no rich
+    supplier. Both sides are filtered at the read and reduced to
+    distinct keys by a distributed groupby (only unique keys move);
+    the exclusion set is bounded by the 25-row nation dimension, so
+    the EXCEPT itself is a broadcast anti-probe (``~pc.is_in`` against
+    a ``ray.put`` key set — a shuffle anti-join for a dimension-sized
+    side is pure overhead, and Ray's hash join cannot infer a schema
+    from an empty side at tiny scale factors). Names attach from the
+    broadcast nation table."""
+    c = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["c_acctbal"], RICH_ACCTBAL)
+            ).select(["c_nationkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["c_nationkey"])
+        .rename_columns({"c_nationkey": "nationkey"})
+    )
+    s_keys = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["s_acctbal"], RICH_ACCTBAL)
+            ).select(["s_nationkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("s_nationkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["s_nationkey"])
+    )
+    sup_tabs = [
+        t for t in (ray.get(r) for r in s_keys.materialize().to_arrow_refs())
+        if t.num_rows and "s_nationkey" in t.column_names
+    ]
+    excl = ray.put(
+        pa.concat_tables(sup_tabs)["s_nationkey"].combine_chunks()
+        if sup_tabs else None
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).combine_chunks()
+    nref = ray.put(nation)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ks = ray.get(excl)
+        if ks is not None and len(ks):
+            t = t.filter(
+                pc.invert(
+                    pc.fill_null(pc.is_in(t["nationkey"], value_set=ks), False)
+                )
+            )
+        nt = ray.get(nref)
+        pos = pc.index_in(
+            t["nationkey"], value_set=nt["n_nationkey"].combine_chunks()
+        )
+        return pa.table(
+            {"nationkey": t["nationkey"], "n_name": nt["n_name"].take(pos)}
+        )
+
+    return c.map_batches(attach, batch_format="pyarrow")
+
+
+def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Argmax-per-group (max_by shape): each user's latest event, ties on
+    ts broken by the larger event_id. Expressed as groupby.map_groups over
+    the sorted group — the per-key window idiom; the group payload is 3
+    narrow columns, so one task per key-range holds O(group) rows only."""
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        r = g.iloc[-1]
+        return pd.DataFrame(
+            {
+                "user_id": [r["user_id"]],
+                "event_id": [r["event_id"]],
+                "ts": [r["ts"]],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(last, batch_format="pandas")
+    )
+
+
+def distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped COUNT(DISTINCT): two-level aggregation — dedupe the
+    (type, user) pairs first (the partial shuffle carries unique pairs
+    only), then a narrow count per type."""
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def contacts_by_nation_role(sf_dir: str) -> ray.data.Dataset:
+    """UNION ALL + aggregate: customers and suppliers tagged with a role
+    literal, unioned (block concatenation — no shuffle), then grouped.
+    Ray Data's union is metadata-only; the only exchange is the final
+    narrow groupby."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "nationkey": t["c_nationkey"],
+                "role": pa.array(["customer"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "nationkey": t["s_nationkey"],
+                "role": pa.array(["supplier"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        c.union(s)
+        .groupby(["nationkey", "role"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+QUANTILE_QS = (0.5, 0.9)
+
+
+def order_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact discrete quantiles per order priority (PERCENTILE_DISC
+    semantics: the first sorted element whose cumulative fraction >= q,
+    i.e. index ceil(n*q)-1 — an element of the set, so integer-exact and
+    hash-stable, unlike interpolated quantiles whose last-ulp float
+    arithmetic differs between engines). Per-group exact quantiles sort
+    inside one task per key; at corpus scale with huge groups the engine
+    swaps in a distributed sort per key or a sketch (t-digest) — this is
+    the exact small-group form."""
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["price_cents"].to_numpy())
+        n = v.size
+        out = {"o_orderpriority": [g["o_orderpriority"].iloc[0]]}
+        for q in QUANTILE_QS:
+            idx = max(int(np.ceil(n * q)) - 1, 0)
+            out[f"p{int(q * 100)}_cents"] = [int(v[idx])]
+        return pd.DataFrame(out)
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(cents_tbl, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(quant, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -871,6 +1247,113 @@ SQL_ORACLES["nations_customers_and_suppliers"] = """
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
     SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+SQL_ORACLES["customer_order_stats"] = f"""
+    SELECT c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           MAX(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+               AS max_price_cents
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_totalprice > {BIG_STATS_CUTOFF}) o
+      ON c_custkey = o.o_custkey
+    GROUP BY c_custkey
+"""
+
+SQL_ORACLES["top_revenue_orders"] = f"""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           o.o_orderdate
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = '{TOP_REVENUE_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{TOP_REVENUE_CUTOFF} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+SQL_ORACLES["order_priority_pivot"] = """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+"""
+
+SQL_ORACLES["orders_monthly"] = """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+SQL_ORACLES["value_histogram"] = f"""
+    SELECT CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+"""
+
+SQL_ORACLES["nations_customers_except_suppliers"] = f"""
+    WITH k AS (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        WHERE c_acctbal > {RICH_ACCTBAL}
+        EXCEPT
+        SELECT DISTINCT s_nationkey FROM supplier
+        WHERE s_acctbal > {RICH_ACCTBAL}
+    )
+    SELECT nationkey, n_name FROM k JOIN nation ON nationkey = n_nationkey
+"""
+
+SQL_ORACLES["latest_event_per_user"] = """
+    SELECT user_id, event_id, ts FROM (
+        SELECT user_id, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+SQL_ORACLES["distinct_users_per_type"] = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+SQL_ORACLES["contacts_by_nation_role"] = """
+    SELECT nationkey, role, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier
+    ) GROUP BY nationkey, role
+"""
+
+# PERCENTILE_DISC restated explicitly (rank = ceil(n*q), both sides
+# computing ceil on the same IEEE double product) rather than via
+# quantile_disc, whose index convention differs between engines.
+SQL_ORACLES["order_value_quantiles"] = f"""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), r AS (
+        SELECT o_orderpriority, price_cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY price_cents) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM c
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * {QUANTILE_QS[0]})
+                                            AS BIGINT), 1)
+                    THEN price_cents END) AS p{int(QUANTILE_QS[0] * 100)}_cents,
+           MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * {QUANTILE_QS[1]})
+                                            AS BIGINT), 1)
+                    THEN price_cents END) AS p{int(QUANTILE_QS[1] * 100)}_cents
+    FROM r GROUP BY o_orderpriority
 """
 
 # Predicate-complete SQL restatement of the flagship text near-dup
@@ -1519,6 +2002,16 @@ SQL_QUERIES: dict[str, Callable] = {
     "exact_dup_pairs": exact_dup_pairs,
     "customers_without_big_orders": customers_without_big_orders,
     "nations_customers_and_suppliers": nations_customers_and_suppliers,
+    "customer_order_stats": customer_order_stats,
+    "top_revenue_orders": top_revenue_orders,
+    "order_priority_pivot": order_priority_pivot,
+    "orders_monthly": orders_monthly,
+    "value_histogram": value_histogram,
+    "nations_customers_except_suppliers": nations_customers_except_suppliers,
+    "latest_event_per_user": latest_event_per_user,
+    "distinct_users_per_type": distinct_users_per_type,
+    "contacts_by_nation_role": contacts_by_nation_role,
+    "order_value_quantiles": order_value_quantiles,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
