@@ -145,3 +145,31 @@ def test_exact_jaccard_edges():
     assert exact_jaccard(np.array([], np.uint64), np.array([], np.uint64)) == 1.0
     assert exact_jaccard(np.array([1], np.uint64), np.array([], np.uint64)) == 0.0
     assert exact_jaccard(np.array([1, 2], np.uint64), np.array([2, 3], np.uint64)) == pytest.approx(1 / 3)
+
+
+def test_sliding_argmin_leftmost_equals_naive():
+    """Block (van Herk) sliding argmin must equal the naive per-window
+    np.argmin bit-for-bit, including leftmost tie-breaking (small value
+    alphabet forces frequent ties) and rows separated by garbage gaps."""
+    from well_duplicates_ray.functions.text import sliding_argmin_leftmost
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        nrows = rng.integers(1, 8)
+        w = int(rng.integers(2, 30))
+        g_counts, starts, pos = [], [], 0
+        for _r in range(nrows):
+            gc = int(rng.integers(0, 60))
+            starts.append(pos)
+            g_counts.append(gc)
+            pos += gc + int(rng.integers(0, 5))
+        grams = rng.integers(0, 4, pos + 5).astype(np.uint64)
+        starts = np.array(starts, np.int64)
+        g_counts = np.array(g_counts, np.int64)
+        got = sliding_argmin_leftmost(grams, w, starts, g_counts)
+        exp = []
+        for r in range(nrows):
+            for ws in range(max(g_counts[r] - w + 1, 0)):
+                seg = grams[starts[r] + ws:starts[r] + ws + w]
+                exp.append(starts[r] + ws + int(np.argmin(seg)))
+        assert np.array_equal(got, np.array(exp, np.int64))

@@ -285,6 +285,82 @@ def simhash_from_shingles(
     return out
 
 
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sliding_argmin_leftmost(
+    grams: np.ndarray,
+    window: int,
+    row_gram_starts: np.ndarray,
+    g_counts: np.ndarray,
+) -> np.ndarray:
+    """Leftmost argmin (index into ``grams``) of every in-row sliding
+    window, rows concatenated in (row, window-start) order.
+
+    O(total grams) via the van Herk / Gil-Werman two-scan trick instead
+    of ``sliding_window_view(...).argmin(axis=1)``'s O(total x window):
+    rows are copied into a block-aligned scratch (each row starts at a
+    multiple of ``window``; the tail padding is U64_MAX so it never
+    wins), per-block prefix/suffix running argminima are built in 2 x
+    ``window`` vectorized column steps, and each window [p, p+w-1] is
+    answered as min(suffix-from-p, prefix-to-p+w-1) with ties resolved
+    toward the suffix — which holds the earlier indices, preserving
+    numpy argmin's leftmost-tie semantics exactly. The block alignment
+    also guarantees no scan crosses a row boundary (the inter-row
+    cross-gram garbage in ``grams`` is never even copied in).
+    """
+    w = int(window)
+    m_counts = np.maximum(g_counts - w + 1, 0)
+    if m_counts.sum() == 0:
+        return np.zeros(0, dtype=np.int64)
+    use = np.flatnonzero(m_counts > 0)
+    gc = g_counts[use]
+    sb = row_gram_starts[use]
+    mc = m_counts[use]
+    pl = ((gc + w - 1) // w) * w          # padded row length
+    prow = np.zeros(len(use) + 1, dtype=np.int64)
+    np.cumsum(pl, out=prow[1:])
+    padded = np.full(prow[-1], _U64_MAX, dtype=np.uint64)
+    dst = np.repeat(prow[:-1], gc) + _segment_arange(gc)
+    src = np.repeat(sb, gc) + _segment_arange(gc)
+    padded[dst] = grams[src]
+
+    G = padded.reshape(-1, w)
+    nb = G.shape[0]
+    # prefix running (value, within-block argmin), leftmost on ties
+    pv = np.empty_like(G)
+    pi = np.empty((nb, w), dtype=np.int32)
+    pv[:, 0] = G[:, 0]
+    pi[:, 0] = 0
+    for j in range(1, w):
+        better = G[:, j] < pv[:, j - 1]
+        pv[:, j] = np.where(better, G[:, j], pv[:, j - 1])
+        pi[:, j] = np.where(better, j, pi[:, j - 1])
+    # suffix running minima; <= so the LEFTMOST index wins within the
+    # suffix too
+    sv = np.empty_like(G)
+    si = np.empty((nb, w), dtype=np.int32)
+    sv[:, w - 1] = G[:, w - 1]
+    si[:, w - 1] = w - 1
+    for j in range(w - 2, -1, -1):
+        better = G[:, j] <= sv[:, j + 1]
+        sv[:, j] = np.where(better, G[:, j], sv[:, j + 1])
+        si[:, j] = np.where(better, j, si[:, j + 1])
+
+    svf, sif = sv.reshape(-1), si.reshape(-1)
+    pvf, pif = pv.reshape(-1), pi.reshape(-1)
+    p = np.repeat(prow[:-1], mc) + _segment_arange(mc)
+    e = p + w - 1
+    take_suffix = svf[p] <= pvf[e]
+    q = np.where(
+        take_suffix,
+        (p // w) * w + sif[p],
+        (e // w) * w + pif[e],
+    )
+    rows_w = np.repeat(np.arange(len(use), dtype=np.int64), mc)
+    return sb[rows_w] + (q - prow[:-1][rows_w])
+
+
 def winnow_fingerprints(
     strings, gram: int, window: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -309,15 +385,12 @@ def winnow_fingerprints(
     np.cumsum(m_counts, out=out_offsets[1:])
     if out_offsets[-1] == 0:
         return np.zeros(0, dtype=np.uint64), out_offsets
-    # sliding min over the flat gram array, then keep only in-row windows.
-    # NOTE: ``grams`` is indexed by flat BYTE position (it includes
-    # cross-row windows, masked out here), so row r's windows start at
-    # byte offset offsets[r]-base, not at the per-row gram-count cumsum.
-    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
-    mins_flat = sw.min(axis=1)
-    starts = np.repeat(offsets[:-1] - base, m_counts)
-    within = _segment_arange(m_counts)
-    sel = mins_flat[starts + within]
+    # per-row sliding min over the flat gram array (``grams`` is indexed
+    # by flat BYTE position; rows' windows start at offsets[r]-base)
+    sel_flat = sliding_argmin_leftmost(
+        grams, window, offsets[:-1] - base, g_counts
+    )
+    sel = grams[sel_flat]
     # dedupe consecutive equal selections within each row
     row_id = np.repeat(np.arange(len(lens), dtype=np.int64), m_counts)
     keep = np.ones(sel.size, dtype=bool)
@@ -355,12 +428,9 @@ def winnow_fingerprints_pos(
     if m_counts.sum() == 0:
         z = np.zeros(0, dtype=np.uint64)
         return z, np.zeros(0, dtype=np.int64), np.zeros(n + 1, dtype=np.int64)
-    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
-    arg_flat = sw.argmin(axis=1)
-    starts = np.repeat(offsets[:-1] - base, m_counts)
-    within = _segment_arange(m_counts)
-    wstart = starts + within
-    sel_idx = wstart + arg_flat[wstart]          # flat gram index selected
+    sel_idx = sliding_argmin_leftmost(
+        grams, window, offsets[:-1] - base, g_counts
+    )                                            # flat gram index selected
     row_id = np.repeat(np.arange(n, dtype=np.int64), m_counts)
     # dedupe consecutive identical selections (same occurrence picked by
     # overlapping windows)

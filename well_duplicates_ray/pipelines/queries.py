@@ -30,8 +30,17 @@ from well_duplicates_ray.config import DedupConfig
 CFG = DedupConfig()
 
 
-def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(
+    sf_dir: str, table: str, columns=None, num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Pruned parquet read. ``num_blocks`` overrides Ray's one-task-per-
+    file read parallelism — the sf testdata tables are single files, so
+    a compute-heavy downstream map (the signature pass) would otherwise
+    run as ONE task regardless of cluster size."""
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, **kw
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1572,7 +1581,7 @@ def neardup_documents_minhash(sf_dir: str) -> ray.data.Dataset:
     (the text instantiation of the flagship; SURVEY.md §2 G5-G15)."""
     from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
     return run_text_neardup(docs, DOC_CFG)["clusters"]
 
 
@@ -1582,7 +1591,7 @@ def neardup_documents_pairs(sf_dir: str) -> ray.data.Dataset:
     granularity (a, b, kind, jaccard)."""
     from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
     edges = run_text_neardup(docs, DOC_CFG)["edges"]
     return edges.select_columns(["a", "b", "kind", "jaccard"])
 
@@ -1629,7 +1638,7 @@ def minhash_documents(sf_dir: str) -> ray.data.Dataset:
         )
 
     feats = build_text_features(
-        _read(sf_dir, "documents", ["doc_id", "text"]), CFG
+        _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16), CFG
     )
     return feats.map_batches(explode, batch_format="pyarrow")
 
