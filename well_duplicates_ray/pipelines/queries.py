@@ -1061,6 +1061,99 @@ def order_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_DAY_US = 86_400_000_000
+
+
+def asof_latest_order(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join (the brief's named custom operator): for every event,
+    the latest order of the customer with key == user_id placed at or
+    before the event's timestamp; ties on order date resolved to the
+    larger orderkey. NULL columns when the user has no qualifying order.
+
+    Ray shape: the orders side is packed once into a sorted int64 key
+    array (custkey * 2^16 + order-day; day fits 16 bits, key stays in
+    int64) and broadcast via ray.put; each event batch answers with ONE
+    vectorized np.searchsorted(side='right')-1 probe — no shuffle, no
+    per-row python. The sort order (custkey, day, orderkey) makes
+    'rightmost match' implement the as-of + tie rule exactly. At a scale
+    where the orders side cannot broadcast, the same kernel runs inside
+    a hash-partitioned merge: co-partition both sides by key, sort each
+    partition, probe per partition (the G14 shuffle-attach shape)."""
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).combine_chunks()
+    days = (
+        o["o_orderdate"].cast(pa.int64()).to_numpy() // _DAY_US
+    )
+    cust = o["o_custkey"].to_numpy()
+    okey = o["o_orderkey"].to_numpy()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    packed = cust * (1 << 16) + days
+    order = np.lexsort((okey, packed))
+    bundle = ray.put(
+        (packed[order], okey[order], cents[order], cust[order])
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        pk, ok, oc, ocust = ray.get(bundle)  # zero-copy from plasma
+        ts_day = t["ts"].cast(pa.int64()).to_numpy() // _DAY_US
+        users = t["user_id"].to_numpy()
+        q = users * (1 << 16) + ts_day
+        pos = np.searchsorted(pk, q, side="right") - 1
+        valid = pos >= 0
+        posc = np.clip(pos, 0, None)
+        valid &= ocust[posc] == users  # match must be the same customer
+        okey_out = np.where(valid, ok[posc], 0)
+        cents_out = np.where(valid, oc[posc], 0)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "o_orderkey": pa.array(okey_out, pa.int64(),
+                                       mask=~valid),
+                "price_cents": pa.array(cents_out, pa.int64(),
+                                        mask=~valid),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
+TRAIL_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def trailing_user_value_1h(sf_dir: str) -> ray.data.Dataset:
+    """Time-RANGE windowed aggregate (the brief's 'windowed aggregate'
+    operator): per event, the sum of the same user's event value-cents
+    over [ts - 1h, ts], with SQL RANGE peer semantics (all rows sharing
+    the current timestamp are included regardless of tie order).
+
+    Ray shape: groupby(user).map_groups over the sorted group — prefix
+    sums + two vectorized searchsorteds give every window in O(n log n)
+    per user, no per-row loop; the shuffle carries only (event_id,
+    user_id, ts, cents)."""
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        cum = np.zeros(len(g) + 1, dtype=np.int64)
+        np.cumsum(cents, out=cum[1:])
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - TRAIL_WINDOW_US, side="left")
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "trailing_cents": cum[hi] - cum[lo]}
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1338,6 +1431,27 @@ SQL_ORACLES["contacts_by_nation_role"] = """
         UNION ALL
         SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier
     ) GROUP BY nationkey, role
+"""
+
+SQL_ORACLES["asof_latest_order"] = """
+    SELECT e.event_id, o.o_orderkey,
+           CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+"""
+
+SQL_ORACLES["trailing_user_value_1h"] = """
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                                AND CURRENT ROW)
+                AS BIGINT) AS trailing_cents
+    FROM events
 """
 
 # PERCENTILE_DISC restated explicitly (rank = ceil(n*q), both sides
@@ -2021,6 +2135,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "distinct_users_per_type": distinct_users_per_type,
     "contacts_by_nation_role": contacts_by_nation_role,
     "order_value_quantiles": order_value_quantiles,
+    "asof_latest_order": asof_latest_order,
+    "trailing_user_value_1h": trailing_user_value_1h,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
