@@ -23,13 +23,18 @@ _FLAGSHIP_SEED = 42
 
 def _flagship_input_path() -> str:
     """Deterministic synthetic image table, cached as parquet in /tmp
-    (FIXTURES.md F1 — seed-pinned, no external data)."""
-    path = f"/tmp/wd_cache/images_n{_FLAGSHIP_N}_s{_FLAGSHIP_SEED}.parquet"
-    if not os.path.exists(path):
-        from well_duplicates_ray.fixtures import write_images_parquet
+    (FIXTURES.md F1 — seed-pinned, no external data). The build is
+    atomic and the cached file is validated before reuse (cachefs), so
+    concurrent driver processes and stale/corrupt leftovers are safe."""
+    from well_duplicates_ray.cachefs import ensure_cached
+    from well_duplicates_ray.fixtures import FIXTURE_VERSION, write_images_parquet
 
-        write_images_parquet(path, n=_FLAGSHIP_N, seed=_FLAGSHIP_SEED)
-    return path
+    path = (f"/tmp/wd_cache/images_n{_FLAGSHIP_N}_s{_FLAGSHIP_SEED}"
+            f"_v{FIXTURE_VERSION}.parquet")
+    return ensure_cached(
+        path, lambda: write_images_parquet(path, n=_FLAGSHIP_N,
+                                           seed=_FLAGSHIP_SEED)
+    )
 
 
 def entry() -> Any:

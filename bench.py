@@ -74,17 +74,19 @@ def _images_for_sf(sf: float) -> tuple[str, int]:
     # into one 8 s task at sf0.1). ~1024 rows per part file keeps every
     # CPU fed without scheduling dust.
     nf = max(min(n // 1024, 256), 1)
+    from well_duplicates_ray.cachefs import ensure_cached
+    from well_duplicates_ray.fixtures import FIXTURE_VERSION, write_images_parquet
+
     path = (
         f"/tmp/wd_cache/bench_images_n{n}_s{BENCH_SEED}"
-        f"_sz{BENCH_IMG_SIZE}_f{nf}.parquet"
+        f"_sz{BENCH_IMG_SIZE}_f{nf}_v{FIXTURE_VERSION}.parquet"
     )
-    if not os.path.exists(path):
-        from well_duplicates_ray.fixtures import write_images_parquet
-
-        write_images_parquet(
-            path, n=n, seed=BENCH_SEED, size=BENCH_IMG_SIZE,
-            num_files=nf,
-        )
+    ensure_cached(
+        path,
+        lambda: write_images_parquet(
+            path, n=n, seed=BENCH_SEED, size=BENCH_IMG_SIZE, num_files=nf
+        ),
+    )
     return path, n
 
 
@@ -254,9 +256,18 @@ def run_scaling(sf_dir: str) -> dict:
     scaling run measures the per-leg startup/first-touch constants of
     this shared VM, not the engine (round-2's own VERDICT prescribed
     moving to a compute-dominated size). Legs still run the identical
-    input at both CPU counts in fresh processes."""
-    scale_sf = float(os.environ.get("RAY_GRAFT_SCALE_SF", "0.5"))
-    sf_dir = f"/root/testdata/sf{scale_sf:g}"  # name only parsed for n
+    input at both CPU counts in fresh processes.
+
+    Input-dir precedence (ADVICE r3: the old code silently shadowed the
+    caller's GRAFT_SF_DIR): RAY_GRAFT_SCALE_SF wins when set; otherwise
+    an explicitly-set GRAFT_SF_DIR is honored; the compute-dominated
+    sf0.5 default applies only when neither is given."""
+    env_scale = os.environ.get("RAY_GRAFT_SCALE_SF")
+    if env_scale is not None or os.environ.get("GRAFT_SF_DIR") is None:
+        scale_sf = float(env_scale if env_scale is not None else "0.5")
+        sf_dir = f"/root/testdata/sf{scale_sf:g}"  # name only parsed for n
+    else:
+        scale_sf = _sf_of(sf_dir)  # caller's GRAFT_SF_DIR
     _images_for_sf(scale_sf)  # generate cache once, outside timing
     # Default pair 2 -> 8 (N and 4N): the host's own busy-loop per-process
     # ratio is ~1.0 up to 8 concurrent processes but drops to 0.70-0.80 at

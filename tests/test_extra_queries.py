@@ -247,7 +247,7 @@ def test_ann_ivf_io_prune(ray_session):
     import glob as _glob
 
     from well_duplicates_ray.pipelines.queries import (
-        IVF_NLIST,
+        _ivf_nlist,
         _ivf_probe_paths,
         _ivf_store,
         ann_topk_cosine,
@@ -255,10 +255,14 @@ def test_ann_ivf_io_prune(ray_session):
     )
 
     sf = "/root/testdata/sf0.01"
+    import pyarrow.parquet as _pq0
+
+    n_emb = _pq0.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+    nlist = _ivf_nlist(n_emb)
     root, cent = _ivf_store(sf)
-    assert cent.shape[0] == IVF_NLIST
+    assert cent.shape[0] == nlist
     parts = sorted(_glob.glob(os.path.join(root, "list_id=*")))
-    assert len(parts) > IVF_NLIST // 2  # kmeans may leave a few lists empty
+    assert len(parts) > nlist // 2  # kmeans may leave a few lists empty
 
     # store reuse: second call must not rebuild (same root, same mtime)
     m0 = os.path.getmtime(root)
@@ -271,7 +275,7 @@ def test_ann_ivf_io_prune(ray_session):
     paths = _ivf_probe_paths(root, probed)
     probe_dirs = {os.path.dirname(p) for p in paths}
     assert probe_dirs <= set(parts) and len(probe_dirs) <= 3
-    all_files = _ivf_probe_paths(root, np.arange(IVF_NLIST))
+    all_files = _ivf_probe_paths(root, np.arange(nlist))
     assert 0 < len(paths) < len(all_files)
 
     # every row stored under list_id=l really assigns to list l

@@ -59,7 +59,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        args = [a for a in args if a != out_path]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
     if not ray.is_initialized():
@@ -84,6 +89,7 @@ def main() -> int:
         )
 
     failures = 0
+    report: dict[str, dict] = {}
     for name in sorted(SQL_ORACLES):
         try:
             got = normalize(to_pandas(registry[name](sf_dir)))
@@ -114,11 +120,43 @@ def main() -> int:
             if problems:
                 failures += 1
                 print(f"FAIL {name}: {'; '.join(problems)}")
+                report[name] = {"rows_match": False, "schema_match": False,
+                                "hash_match": False,
+                                "err": "; ".join(problems)[:300]}
             else:
                 print(f"ok   {name}: {len(got)} rows bit-exact")
+                report[name] = {"rows_match": True, "schema_match": True,
+                                "hash_match": True, "rows": len(got),
+                                "err": None}
         except Exception as e:  # noqa: BLE001
             failures += 1
             print(f"ERROR {name}: {type(e).__name__}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "err": f"{type(e).__name__}: {e}"[:300]}
+
+    # rows-only pass over the no-oracle queries (the driver's weaker
+    # check for non-SQL-expressible ops): each must RUN and yield a
+    # stable-schema result — this is where first-call side effects
+    # (IVF store build, /tmp fixtures) would die in the driver's run,
+    # so the pre-flight exercises them all (VERDICT r3 top_next)
+    for name in sorted(set(registry) - set(SQL_ORACLES)):
+        try:
+            df = to_pandas(registry[name](sf_dir))
+            print(f"ok   {name}: {len(df)} rows (no_oracle)")
+            report[name] = {"rows": len(df), "err": "no_oracle"}
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            report[name] = {"rows": None,
+                            "err": f"no_oracle; {type(e).__name__}: {e}"[:300]}
+
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path} ({len(report)} entries)")
     ray.shutdown()
     return 1 if failures else 0
 

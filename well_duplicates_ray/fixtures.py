@@ -29,6 +29,11 @@ from well_duplicates_ray.functions.text import exact_jaccard, shingle_hashes
 IMG_W = 32
 IMG_H = 32
 
+# Bumped whenever generated fixture CONTENT changes: cached fixture paths
+# embed it, so a /tmp cache left by an earlier code round can never be
+# silently reused against newer generator semantics.
+FIXTURE_VERSION = 1
+
 CLASSES = ["unique", "exact", "near_pixel", "caption_para", "substring", "hot_bucket"]
 CLASS_P = [0.70, 0.06, 0.08, 0.08, 0.05, 0.03]
 
@@ -227,23 +232,37 @@ def write_images_parquet(path: str, n: int, seed: int = 42,
     read-parallelism atom for ``ray.data.read_parquet`` (one read task
     per file — a single 60k-row file serialized the whole read into one
     8-second task), and a partitioned layout is the realistic shape for
-    any at-scale input anyway."""
+    any at-scale input anyway.
+
+    Both artifacts (data + truth) appear ATOMICALLY: everything is
+    written to per-pid staging paths and renamed into place, so a
+    concurrent process caching the same fixture (the driver's checks run
+    multi-process) never reads a half-written file (cachefs protocol)."""
     import os
     import pyarrow.parquet as pq
 
+    from well_duplicates_ray.cachefs import commit_staging, staging_path
+
     images, truth = make_images(n, seed=seed, cfg=cfg, size=size)
+    os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
     if num_files > 1:
-        os.makedirs(path, exist_ok=True)
+        truth_path = path.rstrip("/") + "_truth.parquet"
+        stage = staging_path(path)
+        os.makedirs(stage, exist_ok=True)
         per = -(-n // num_files)
         for i, s in enumerate(range(0, n, per)):
             pq.write_table(
                 images.slice(s, per),
-                os.path.join(path, f"part-{i:05d}.parquet"),
+                os.path.join(stage, f"part-{i:05d}.parquet"),
                 row_group_size=row_group_size,
             )
-        pq.write_table(truth, path.rstrip("/") + "_truth.parquet")
+        commit_staging(stage, path)
     else:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        pq.write_table(images, path, row_group_size=row_group_size)
-        pq.write_table(truth, path.replace(".parquet", "") + "_truth.parquet")
+        truth_path = path.replace(".parquet", "") + "_truth.parquet"
+        stage = staging_path(path)
+        pq.write_table(images, stage, row_group_size=row_group_size)
+        commit_staging(stage, path)
+    tstage = staging_path(truth_path)
+    pq.write_table(truth, tstage)
+    commit_staging(tstage, truth_path)
     return images
