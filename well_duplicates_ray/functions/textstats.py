@@ -122,32 +122,12 @@ def quality_metrics(texts: pd.Series) -> pd.DataFrame:
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     """64-bit rolling polynomial fingerprint of the full text (signed int64
     output; the content-addressable exact-dedup key without cryptographic
-    cost). Vectorized over the batch's flat byte buffer."""
-    from well_duplicates_ray.functions.text import flat_utf8
+    cost). Vectorized over the batch's flat byte buffer — the kernel is
+    text.poly_fingerprint64, shared with the candidate bucket keys; its
+    formula is pinned bit-exact by SQL_ORACLES['doc_rolling_fingerprint']
+    (constants are batch-independent: same text => same fingerprint under
+    any batching, and the length term separates '\\x00'+s from s)."""
+    from well_duplicates_ray.functions.text import poly_fingerprint64
 
-    flat, offsets = flat_utf8(texts.fillna("").tolist())
-    base = offsets[0]
-    lens = np.diff(offsets)
-    n = len(lens)
-    seed = np.uint64(14695981039346656037)
-    b = np.uint64(1099511628211)
-    # h_row = (seed * B + sum_j byte[j] * B^(len-1-j)) * B + len  — the
-    # constants are batch-independent (same text => same fingerprint under
-    # any batching) and the length term separates '\x00'+s from s.
-    sums = np.zeros(n, dtype=np.uint64)
-    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
-        if flat.size > 0 and lens.max(initial=0) > 0:
-            maxlen = int(lens.max())
-            pows = np.empty(maxlen, dtype=np.uint64)
-            pows[0] = 1
-            for k in range(1, maxlen):
-                pows[k] = pows[k - 1] * b
-            data = flat[offsets[0] - base : offsets[-1] - base].astype(np.uint64)
-            ends = np.repeat(offsets[1:] - base, lens)
-            pos = np.arange(data.size, dtype=np.int64)
-            contrib = data * pows[ends - 1 - pos]
-            starts = (offsets[:-1] - base).astype(np.int64)
-            nz = lens > 0
-            sums[nz] = np.add.reduceat(contrib, starts[nz])
-        out = (seed * b + sums) * b + lens.astype(np.uint64)
+    out = poly_fingerprint64(texts.fillna("").tolist())
     return pd.Series(out.view(np.int64), index=texts.index)
