@@ -76,6 +76,35 @@ def test_lance_seam_dispatch():
             read_table("/tmp/nonexistent/table.lance")
 
 
+def test_lance_write_seam_dispatch(ray_session):
+    """write_table mirrors the read seam: a .lance output URI dispatches
+    to Dataset.write_lance (or raises the clear ImportError without the
+    package); non-lance paths still write parquet directories."""
+    import pyarrow as pa
+    import ray.data
+
+    from well_duplicates_ray.io import write_table
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, 3])}))
+    try:
+        import lance  # noqa: F401
+
+        has_lance = True
+    except ImportError:
+        has_lance = False
+    if not has_lance:
+        with pytest.raises(ImportError, match="lance"):
+            write_table(ds, "/tmp/wd_lance_seam/out.lance")
+    import glob
+    import shutil
+
+    out = "/tmp/wd_lance_seam/out_pq"
+    shutil.rmtree(out, ignore_errors=True)
+    write_table(ds, out)
+    assert glob.glob(f"{out}/*.parquet")
+    shutil.rmtree("/tmp/wd_lance_seam", ignore_errors=True)
+
+
 def test_cli_empty_input(ray_session, tmp_path, capsys):
     """Zero-row input: streaming mode must produce an empty cluster table,
     not crash on the missing edge table (ADVICE round 1)."""
