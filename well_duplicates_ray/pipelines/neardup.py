@@ -237,6 +237,7 @@ def candidate_pair_refs(
     cfg: DedupConfig,
     num_partitions: int | None = None,
     n_rows: int | None = None,
+    dedupe_nshards: int = 0,
 ) -> tuple[list, object, dict]:
     """Raw (pre-dedupe) candidate pair block ObjectRefs + the broadcast
     verify bundle ref, for callers that partition verification themselves
@@ -273,7 +274,8 @@ def candidate_pair_refs(
     )
 
     if n_emissions <= DRIVER_COUNT_GATE:
-        pair_refs = pair_shard_refs(emissions, hot, cfg)
+        pair_refs = pair_shard_refs(emissions, hot, cfg,
+                                    dedupe_nshards=dedupe_nshards)
     else:
         pairs = cold_pairs(emissions, hot, num_partitions, cfg)
         hp = hot_pairs(emissions, hot, cfg)
