@@ -1255,6 +1255,147 @@ def trailing_user_value_1h(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+TOPN_PER_CUST = 3
+
+
+def top3_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
+    """Top-N per group (ROW_NUMBER <= 3): each customer's three priciest
+    orders with their rank. Ray shape: customers hash into partitions
+    (the trailing_user_value_1h pattern — never one task per key), each
+    task sorts its slice by (cust, -cents, orderkey) once and ranks every
+    group with one vectorized segment pass."""
+    from well_duplicates_ray.functions.phash import mix64
+
+    P = 32
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        pid = (mix64(ck.view(np.uint64), 7272) % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+                "pid": pa.array(pid),
+            }
+        )
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        cents = g["price_cents"].to_numpy()
+        order = np.lexsort((ok, -cents, ck))
+        ck, ok, cents = ck[order], ok[order], cents[order]
+        new = np.r_[True, ck[1:] != ck[:-1]]
+        # rank within segment = position - segment start
+        starts = np.maximum.accumulate(np.where(new, np.arange(len(ck)), 0))
+        rn = np.arange(len(ck)) - starts + 1
+        keep = rn <= TOPN_PER_CUST
+        return pd.DataFrame(
+            {
+                "c_custkey": ck[keep],
+                "o_orderkey": ok[keep],
+                "price_cents": cents[keep],
+                "rn": rn[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(add_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(rank_partition, batch_format="pandas")
+        .select_columns(["c_custkey", "o_orderkey", "price_cents", "rn"])
+    )
+
+
+MOVING_ROWS = 3  # current row + 2 preceding
+
+
+def events_moving_sum3(sf_dir: str) -> ray.data.Dataset:
+    """ROWS-frame window (SUM OVER ... ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) per user ordered by (ts, event_id) — the positional
+    counterpart of the RANGE window trailing_user_value_1h, same
+    partition-parallel shape: one task per user hash partition, one
+    prefix-sum pass answers every frame."""
+    from well_duplicates_ray.functions.phash import mix64
+
+    P = 32
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        pid = (mix64(uid.view(np.uint64), 7373) % np.uint64(P)).astype(np.int32)
+        return t.append_column("pid", pa.array(pid))
+
+    def frames(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(g)
+        idx = np.arange(n)
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.maximum.accumulate(np.where(new, idx, 0))
+        lo = np.maximum(idx - (MOVING_ROWS - 1), starts)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cents, out=cum[1:])
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "sum3_cents": cum[idx + 1] - cum[lo]}
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(add_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(frames, batch_format="pandas")
+        .select_columns(["event_id", "sum3_cents"])
+    )
+
+
+def orders_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(status, priority): counts at all three grouping
+    levels with NULLs marking rolled-up columns. Ray shape: the finest
+    groupby runs distributed once; the coarser levels re-aggregate ITS
+    (tiny) output — the classic partial-reaggregation pyramid, no second
+    pass over the fact table."""
+    fine = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
+    mid = (
+        fine.groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+                    "n": t["n"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def total(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "o_orderpriority": pa.nulls(1, pa.string()),
+                "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    import ray as _ray
+
+    grand = pa.concat_tables(
+        [t for t in (_ray.get(r) for r in fine.to_arrow_refs()) if t.num_rows]
+    )
+    top = ray.data.from_arrow(total(grand))
+    return fine.union(mid).union(top)
+
+
 # ---------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1773,6 +1914,33 @@ SQL_ORACLES["simhash_documents"], SQL_ORACLES["minhash_documents"] = (
     _sketch_oracles()
 )
 
+SQL_ORACLES["top3_orders_per_cust"] = f"""
+    SELECT c_custkey, o_orderkey, price_cents, rn FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC,
+                            o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= {TOPN_PER_CUST}
+"""
+
+SQL_ORACLES["events_moving_sum3"] = f"""
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {MOVING_ROWS - 1} PRECEDING
+                                AND CURRENT ROW)
+                AS BIGINT) AS sum3_cents
+    FROM events
+"""
+
+SQL_ORACLES["orders_rollup"] = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Rows-only ops (no SQL equivalent): near-dup clustering, model scoring,
@@ -2245,6 +2413,9 @@ SQL_QUERIES: dict[str, Callable] = {
     "order_value_quantiles": order_value_quantiles,
     "asof_latest_order": asof_latest_order,
     "trailing_user_value_1h": trailing_user_value_1h,
+    "top3_orders_per_cust": top3_orders_per_cust,
+    "events_moving_sum3": events_moving_sum3,
+    "orders_rollup": orders_rollup,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
