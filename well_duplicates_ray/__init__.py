@@ -24,4 +24,4 @@ zero-copy Arrow batches, with actor pools for stateful stages.
 from well_duplicates_ray.config import DedupConfig
 
 __all__ = ["DedupConfig"]
-__version__ = "0.1.0"
+__version__ = "0.4.0"
