@@ -173,3 +173,55 @@ def test_sliding_argmin_leftmost_equals_naive():
                 seg = grams[starts[r] + ws:starts[r] + ws + w]
                 exp.append(starts[r] + ws + int(np.argmin(seg)))
         assert np.array_equal(got, np.array(exp, np.int64))
+
+
+def test_emit_winnow_reuse_equals_recompute():
+    """emit_bucket_keys reuses the signature pass's set_winnow column
+    (round 4); the distinct (bucket, node) sets of the winnow source must
+    equal the recompute fallback's (multiplicities may differ: the
+    fallback dedupes only consecutive selections)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from well_duplicates_ray.config import DedupConfig
+    from well_duplicates_ray.stages.candidates import SRC_PLAIN, emit_bucket_keys
+    from well_duplicates_ray.stages.signatures import MinHashSignatures
+
+    cfg = DedupConfig(substring_min_len=48, winnow_gram=24)
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(words[int(i)] for i in rng.integers(0, len(words), 40))
+        for _ in range(50)
+    ]
+    texts[10] = texts[3]  # exact dup
+    texts[11] = texts[3][:60] + " tail one two three"  # shared run
+    base = pa.table(
+        {
+            "image_id": pa.array([f"{i}" for i in range(50)]),
+            "node": pa.array(list(range(50)), pa.int64()),
+            "caption": pa.array(texts),
+            "content_sha": pa.array(
+                [hashlib.md5(t.encode()).hexdigest() for t in texts]
+            ),
+        }
+    )
+    feats = MinHashSignatures(cfg.to_dict())(base)
+    assert "set_winnow" in feats.column_names
+
+    def winnow_set(tbl):
+        out = emit_bucket_keys(tbl, cfg)
+        # winnow emissions are SRC_PLAIN; LSH-band emissions are too, but
+        # band keys are salted differently — compare the full PLAIN set
+        # (equal iff the winnow subsets are, since LSH inputs are equal)
+        mask = pc.equal(out["src"], SRC_PLAIN)
+        sel = out.filter(mask)
+        return set(zip(sel["bucket"].to_pylist(), sel["node"].to_pylist()))
+
+    with_reuse = winnow_set(feats)
+    without = winnow_set(feats.drop_columns(
+        ["set_winnow", "set_winnow_pos"]
+    ))
+    assert with_reuse == without and with_reuse
