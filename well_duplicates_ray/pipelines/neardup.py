@@ -209,12 +209,12 @@ def verified_edges(
                                      return_srcs=True)
 
     from well_duplicates_ray.stages.candidates import (
-        DRIVER_COUNT_GATE,
+        driver_count_gate,
         hot_sketch_residual,
         sharded_pairs,
     )
 
-    if n_emissions <= DRIVER_COUNT_GATE:
+    if n_emissions <= driver_count_gate():
         # all-gather shard tasks over the materialized emission blocks —
         # no Ray Data shuffle (see sharded_pairs)
         pairs = sharded_pairs(emissions, hot, cfg)
@@ -268,12 +268,12 @@ def candidate_pair_refs(
                                      return_srcs=True)
 
     from well_duplicates_ray.stages.candidates import (
-        DRIVER_COUNT_GATE,
+        driver_count_gate,
         hot_sketch_residual,
         pair_shard_refs,
     )
 
-    if n_emissions <= DRIVER_COUNT_GATE:
+    if n_emissions <= driver_count_gate():
         pair_refs = pair_shard_refs(emissions, hot, cfg,
                                     dedupe_nshards=dedupe_nshards)
     else:

@@ -103,12 +103,12 @@ def run_text_neardup(
                                      return_srcs=True)
 
     from well_duplicates_ray.stages.candidates import (
-        DRIVER_COUNT_GATE,
+        driver_count_gate,
         hot_sketch_residual,
         sharded_pairs,
     )
 
-    if n_emissions <= DRIVER_COUNT_GATE:
+    if n_emissions <= driver_count_gate():
         pairs = sharded_pairs(emissions, hot, cfg)
     else:
         pairs = cold_pairs(emissions, hot, num_partitions, cfg)

@@ -190,6 +190,26 @@ def bucket_counts(emissions: ray.data.Dataset) -> ray.data.Dataset:
 DRIVER_COUNT_GATE = 20_000_000  # emission rows; ~300 MB of (int64, id) pulls
 
 
+def driver_count_gate() -> int:
+    """DRIVER_COUNT_GATE made cluster-aware (VERDICT r3 design-for-scale
+    audit): the all-gather shard waves have every task read every
+    emission block — free against one node's plasma, an O(nodes x data)
+    network replicate on a real cluster — so the gate shrinks with the
+    number of alive nodes and the shuffle paths take over sooner. In
+    this single-node sandbox it equals the constant (and tests that
+    monkeypatch DRIVER_COUNT_GATE keep working: the module global is
+    read at call time)."""
+    try:
+        import ray as _ray
+
+        n_nodes = max(
+            1, sum(1 for n in _ray.nodes() if n.get("Alive"))
+        ) if _ray.is_initialized() else 1
+    except Exception:
+        n_nodes = 1
+    return DRIVER_COUNT_GATE // n_nodes
+
+
 def find_hot_buckets(
     emissions: ray.data.Dataset,
     cap: int,
