@@ -24,7 +24,6 @@ import ray.data
 
 from well_duplicates_ray.config import DedupConfig, DEFAULT_CONFIG
 from well_duplicates_ray.stages.candidates import (
-    bucket_counts,
     cold_pairs,
     dedupe_pairs,
     emit_bucket_keys,
