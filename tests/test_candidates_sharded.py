@@ -142,3 +142,20 @@ def test_above_gate_paths_match_broadcast(ray_session):
     finally:
         mp.undo()
     assert got == want
+
+
+def test_driver_count_gate_cluster_aware(ray_session, monkeypatch):
+    """The all-gather gate shrinks with cluster size: every task in the
+    shard waves reads every emission block, an O(nodes x data) replicate
+    on a real cluster, so multi-node deployments must fall over to the
+    shuffle paths sooner."""
+    import ray as _ray
+
+    from well_duplicates_ray.stages import candidates as C
+
+    assert C.driver_count_gate() == C.DRIVER_COUNT_GATE  # single node
+
+    real_nodes = _ray.nodes()
+    fake = [dict(n, Alive=True) for n in real_nodes] * 4  # pretend 4 nodes
+    monkeypatch.setattr(_ray, "nodes", lambda: fake)
+    assert C.driver_count_gate() == C.DRIVER_COUNT_GATE // len(fake)
