@@ -583,7 +583,18 @@ def attach_features_shuffle(
     the verifier unpacks both layouts zero-copy, so NO shingle/winnow
     kernel re-runs per batch on this path (VERDICT r3 'missing' #1 —
     re-deriving the sets per batch was exactly what the 10^12-row path
-    couldn't afford)."""
+    couldn't afford).
+
+    Scale note on bytes-through-the-join: the shingle set (~8 B per
+    distinct shingle) dominates the per-pair payload. When pair volume
+    makes that prohibitive, the staged form of THIS SAME code path is:
+    first join only (minhash, winnow) — enough for the signature screen
+    and the substring decision — then re-join the shingle sets for the
+    (far fewer) pairs that survive the screens. Both joins are the
+    function below with a narrower column list; the engine keeps the
+    single-stage form because its screens already discard most pairs
+    before the shingle-set MERGE (the expensive part), not before the
+    ship."""
     present = set(feats.schema().names)
     packed_sets = [c for c in ("set_shingle", "set_winnow", "set_winnow_pos")
                    if c in present]
