@@ -184,3 +184,25 @@ def test_checkpoint_input_change_invalidates(ray_session, input_parquet, tmp_pat
     assert out["metrics"]["partitions_computed"] == 6
     assert out["metrics"]["edges_reused"] is False
     assert out["metrics"]["clusters_reused"] is False
+
+
+def test_checkpoint_above_broadcast_gate(ray_session, input_parquet, tmp_path,
+                                         monkeypatch):
+    """Force the checkpoint runner's above-the-gate edges branch
+    (broadcast_threshold=0 -> per-shard shuffle verify over the candidate
+    parquets) and require the same final clusters as the broadcast-path
+    control run."""
+    import well_duplicates_ray.pipelines.checkpoint as C
+
+    monkeypatch.setattr(C, "ROWS_PER_PARTITION", 200)
+    monkeypatch.setattr(C, "EDGE_SHARDS", 4)
+    monkeypatch.setattr(C, "CLUSTER_SHARDS", 2)
+
+    ref = C.run_checkpointed(input_parquet, str(tmp_path / "ref"), CFG)
+    ref_clusters = pq.read_table(ref["clusters_path"]).sort_by("image_id")
+
+    slow_cfg = DedupConfig(broadcast_threshold=0)
+    out = C.run_checkpointed(input_parquet, str(tmp_path / "gate0"), slow_cfg)
+    clusters = pq.read_table(out["clusters_path"]).sort_by("image_id")
+    assert clusters.equals(ref_clusters)
+    assert out["metrics"]["cand_shards_computed"] == 4
