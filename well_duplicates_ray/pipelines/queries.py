@@ -2258,27 +2258,56 @@ def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # candidate pairing + dedupe reuse the flagship's machinery
+    # (stages/candidates.py): below the cluster-aware gate the all-gather
+    # shard waves pair + dedupe in-plasma. Shard count note: LSH band
+    # buckets here hold ~n/2^bits members (uniform codes), so pair volume
+    # per emission is ~bucket_size/2 — emission-count sizing
+    # (_auto_pair_shards) underestimates the work; 32 shards keeps each
+    # task at tens of thousands of pairs at these scale factors. Above
+    # the gate the hash self-join + dedupe_pairs path runs (the 10^12
+    # route — identical semantics, tested path-equal in the flagship).
+    from well_duplicates_ray.stages.candidates import (
+        SRC_PLAIN,
+        dedupe_pairs,
+        driver_count_gate,
+        find_hot_buckets,
+        sharded_pairs,
+    )
+
+    def to_emission_schema(t: pa.Table) -> pa.Table:
+        e = emit(t)
+        n = e.num_rows
+        return pa.table(
+            {
+                "bucket": e["bucket"],
+                "node": e["vec_id"],
+                "src": pa.array(np.full(n, SRC_PLAIN, np.int8)),
+                "code": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
     emissions = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        emit, batch_format="pyarrow"
-    )
-    joined = emissions.join(
-        emissions, "inner", n_parts, on=("bucket",), right_suffix="_r"
-    )
+        to_emission_schema, batch_format="pyarrow"
+    ).materialize()
+    ne = emissions.count()
+    hot = find_hot_buckets(emissions, CFG.bucket_pair_cap, n_emissions=ne)
+    if ne <= driver_count_gate():
+        pairs = sharded_pairs(emissions, hot, CFG, num_shards=32)
+    else:
+        joined = emissions.join(
+            emissions, "inner", n_parts, on=("bucket",), right_suffix="_r"
+        )
 
-    def order_pairs(t: pa.Table) -> pa.Table:
-        a = t["vec_id"].to_numpy()
-        b = t["vec_id_r"].to_numpy()
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        def order_pairs(t: pa.Table) -> pa.Table:
+            a = t["node"].to_numpy()
+            b = t["node_r"].to_numpy()
+            keep = a < b
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    # dedupe BEFORE verification: the same true pair collides in several
-    # bands, and the vector attach must ship each pair's vectors once.
-    # dedupe_pairs is size-gated: batch-local distinct, then driver Arrow
-    # group_by under the gate / hash-shuffle groupby above it (a full
-    # sort-based multi-key ray groupby took 22 s on 345k pairs here).
-    from well_duplicates_ray.stages.candidates import dedupe_pairs
-
-    pairs = dedupe_pairs(joined.map_batches(order_pairs, batch_format="pyarrow"))
+        pairs = dedupe_pairs(
+            joined.map_batches(order_pairs, batch_format="pyarrow")
+        )
 
     if n_emb <= EMB_BROADCAST_GATE:
         # small-side fast path: broadcast the sorted (ids, unit matrix)
