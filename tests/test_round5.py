@@ -1,0 +1,217 @@
+"""Round-5 items: data-sized window partitioning (VERDICT r4 'wrong' #1),
+Arrow-native window kernels (#2), the id-codec injectivity guard (#3),
+the distributed quantile path ('missing' #1), the IVF full-probe identity
+('missing' #2), the region dimension chain ('missing' #3), and the
+cachefs errno fixes (ADVICE r4)."""
+
+import errno
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- data-sized hash partitioning ------------------------------------------
+
+def test_window_nparts_grows_with_rows():
+    from well_duplicates_ray.pipelines import queries as q
+
+    small = q._window_nparts(1_000)
+    mid = q._window_nparts(10_000_000)
+    big = q._window_nparts(10_000_000_000)
+    assert small <= mid < big
+    # one partition task holds ~target rows, never n/32
+    assert mid == -(-10_000_000 // q.WINDOW_PARTITION_TARGET_ROWS)
+    assert big >= 10_000_000_000 // q.WINDOW_PARTITION_TARGET_ROWS
+
+
+def _sorted_df(res) -> pd.DataFrame:
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["running_value_per_user", "trailing_user_value_1h",
+     "top3_orders_per_cust", "latest_event_per_user"],
+)
+def test_windowed_results_partition_count_invariant(
+    ray_session, monkeypatch, qname
+):
+    """Shrinking the per-partition row target (=> many more partitions)
+    must not change any windowed result — proves the queries actually
+    wire _window_nparts AND that the kernels are partition-count safe."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(getattr(q, qname)(SF_DIR))
+    monkeypatch.setattr(q, "WINDOW_PARTITION_TARGET_ROWS", 64)
+    many = _sorted_df(getattr(q, qname)(SF_DIR))
+    pd.testing.assert_frame_equal(base, many)
+
+
+# --- quantiles: distributed histogram path ----------------------------------
+
+def test_quantile_paths_bit_equal(ray_session, monkeypatch):
+    from well_duplicates_ray.pipelines import queries as q
+
+    exact = _sorted_df(q._quantiles_sorted(SF_DIR))
+    monkeypatch.setattr(q, "QUANTILE_SORT_GATE", 0)  # force histogram path
+    hist = _sorted_df(q.order_value_quantiles(SF_DIR))
+    pd.testing.assert_frame_equal(exact, hist)
+
+
+# --- IVF full probe == exact brute force ------------------------------------
+
+def test_ann_ivf_full_equals_exact(ray_session):
+    from well_duplicates_ray.pipelines import queries as q
+
+    exact = _sorted_df(q.ann_topk_cosine(SF_DIR))
+    full = _sorted_df(q.ann_topk_ivf_full(SF_DIR))
+    pd.testing.assert_frame_equal(exact, full)
+
+
+# --- region ⋈ nation ⋈ customer dimension chain -----------------------------
+
+def test_customers_per_region_oracle(ray_session):
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    got = _sorted_df(q.customers_per_region(SF_DIR))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    want = _sorted_df(con.sql(q.SQL_ORACLES["customers_per_region"]).df())
+    assert got["r_name"].tolist() == want["r_name"].tolist()
+    assert got["n_customers"].tolist() == want["n_customers"].tolist()
+
+
+# --- id-codec injectivity guard ---------------------------------------------
+
+def test_ids_to_int_collision_raises():
+    from well_duplicates_ray.pipelines.neardup import ids_to_int
+
+    with pytest.raises(ValueError, match="collide"):
+        ids_to_int(pa.array(["a1b2", "ab12"]))
+    # conforming ids still parse
+    out = ids_to_int(pa.array(["img00000012", "img00000034"]))
+    assert out.tolist() == [12, 34]
+    # repeated identical strings (component ids) are fine
+    out = ids_to_int(pa.array(["img00000012", "img00000012"]))
+    assert out.tolist() == [12, 12]
+
+
+def _images_with_ids(ids: list[str]) -> pa.Table:
+    from well_duplicates_ray.fixtures import make_images
+
+    imgs, _truth = make_images(len(ids), seed=7)
+    return imgs.set_column(
+        imgs.schema.get_field_index("image_id"),
+        "image_id",
+        pa.array(ids, pa.string()),
+    )
+
+
+def test_feature_codec_guard_rejects_exotic_ids():
+    """The flagship feature stage fails LOUDLY on ids that do not
+    round-trip the configured template — instead of silently merging
+    'a1b2' and 'ab12' into one cluster (VERDICT r4 'wrong' #3)."""
+    from well_duplicates_ray.config import DedupConfig
+    from well_duplicates_ray.stages.signatures import FeatureExtractor
+
+    fx = FeatureExtractor(DedupConfig().to_dict())
+    with pytest.raises(ValueError, match="round-trip"):
+        fx(_images_with_ids(["a1b2", "ab12"]))
+    # template ids and plain-integer ids both pass
+    out = fx(_images_with_ids(["img00000001", "img00000002"]))
+    assert out["node"].to_pylist() == [1, 2]
+    out = fx(_images_with_ids(["7", "8"]))
+    assert out["node"].to_pylist() == [7, 8]
+    # an in-batch parsed collision (mixed forms) is caught by uniqueness
+    with pytest.raises(ValueError):
+        fx(_images_with_ids(["img00000012", "12"]))
+
+
+# --- exact_dup_pairs with NULL keys (ADVICE r4) ------------------------------
+
+def test_exact_dup_pairs_null_names(ray_session, tmp_path):
+    from well_duplicates_ray.pipelines import queries as q
+
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "p_name": pa.array(["same", None, "same", None, "other"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "part.parquet"))
+    got = _sorted_df(q.exact_dup_pairs(str(tmp_path)))
+    # "same" pair (1,3) and the two NULLs normalized to "" pair (2,4)
+    assert got[["a", "b"]].values.tolist() == [[1, 3], [2, 4]]
+
+
+# --- cachefs errno discipline (ADVICE r4) ------------------------------------
+
+def test_commit_staging_reraises_foreign_oserror(tmp_path, monkeypatch):
+    from well_duplicates_ray import cachefs
+
+    stage = str(tmp_path / "a.staging.1")
+    path = str(tmp_path / "a")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "x.parquet"), "wb") as f:
+        f.write(b"data")
+
+    def eperm(src, dst):
+        raise OSError(errno.EPERM, "operation not permitted")
+
+    monkeypatch.setattr(os, "rename", eperm)
+    with pytest.raises(OSError):
+        cachefs.commit_staging(stage, path)
+    assert os.path.exists(stage)  # the built artifact is NOT discarded
+
+
+def test_commit_staging_lost_race_swallowed(tmp_path):
+    from well_duplicates_ray import cachefs
+
+    path = str(tmp_path / "d")
+    os.makedirs(path)
+    with open(os.path.join(path, "winner.parquet"), "wb") as f:
+        f.write(b"w")
+    stage = str(tmp_path / "d.staging.2")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "loser.parquet"), "wb") as f:
+        f.write(b"l")
+    cachefs.commit_staging(stage, path)  # ENOTEMPTY: benign lost race
+    assert not os.path.exists(stage)
+    assert os.path.exists(os.path.join(path, "winner.parquet"))
+
+
+def test_ensure_cached_revalidates_before_destroy(tmp_path, monkeypatch):
+    """A path that becomes valid between the first failed check and the
+    removal must be returned, not destroyed (ADVICE r4 race)."""
+    from well_duplicates_ray import cachefs
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": pa.array([1])}), p)
+
+    calls = {"n": 0}
+    real_valid = cachefs.valid_artifact
+
+    def flaky(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False  # simulate observing a half-written artifact
+        return real_valid(path)
+
+    out = cachefs.ensure_cached(
+        p, lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+        validate=flaky,
+    )
+    assert out == p
+    assert pq.read_table(p).num_rows == 1

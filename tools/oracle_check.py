@@ -59,12 +59,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out_path = None
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
-        args = [a for a in args if a != out_path]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None,
+                    help="write the per-query report as JSON here")
+    ns = ap.parse_args()
+    sf_dir, out_path = ns.sf_dir, ns.out
     import ray
 
     if not ray.is_initialized():

@@ -69,13 +69,24 @@ def _remove(path: str) -> None:
 
 def commit_staging(staging: str, path: str) -> None:
     """Atomically move a finished staging artifact into place; losing a
-    rename race (another process finished first) discards staging."""
+    rename race (another process finished first) discards staging.
+
+    Only the lost-the-race errnos are swallowed (ADVICE r4: a rename
+    failing for any other reason — cross-device staging, permissions —
+    must not silently discard the freshly built artifact), and even then
+    the target must actually exist (the winner's copy)."""
+    import errno
+
     try:
         if os.path.isdir(staging):
             os.rename(staging, path)  # fails if path exists non-empty
         else:
             os.replace(staging, path)
-    except OSError:
+    except OSError as e:
+        if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+            raise
+        if not os.path.exists(path):
+            raise
         _remove(staging)
 
 
@@ -94,7 +105,26 @@ def ensure_cached(
     check = validate or valid_artifact
     if os.path.exists(path) and check(path):
         return path
-    _remove(path)
+    if os.path.exists(path):
+        # Destroy-after-validate race guard (ADVICE r4): between the
+        # failed validation above and this removal, a concurrent process
+        # may have COMMITTED a valid artifact at ``path`` — re-check
+        # immediately before removing so a good artifact is never yanked
+        # out from under readers. A suspect directory is renamed aside
+        # (atomic) rather than rmtree'd in place, so even the residual
+        # window cannot expose readers to a half-deleted tree.
+        if check(path):
+            return path
+        if os.path.isdir(path):
+            trash = f"{path.rstrip('/')}.trash.{os.getpid()}"
+            try:
+                os.rename(path, trash)
+            except OSError:
+                pass  # someone else moved/replaced it first
+            else:
+                shutil.rmtree(trash, ignore_errors=True)
+        else:
+            _remove(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     build()
     if not os.path.exists(path) or not check(path):
