@@ -379,6 +379,90 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_resume_demo(sf_dir: str) -> dict:
+    """Cold vs resume wall time for the checkpointed flagship run
+    (VERDICT r4 next #8 — the pytest kill-tests prove resume
+    CORRECTNESS; this measures the amortization claim): a run is
+    fault-injected to die mid-verification (after the candidates stage
+    has been written), then resumed. The resume must re-run ZERO
+    signature partitions and ZERO candidate shards — only the missing
+    edge shards and the cluster stage."""
+    import shutil
+
+    import ray
+
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from well_duplicates_ray.cachefs import ensure_cached
+    from well_duplicates_ray.fixtures import (
+        FIXTURE_VERSION,
+        write_images_parquet,
+    )
+    from well_duplicates_ray.pipelines.checkpoint import run_checkpointed
+
+    sf = _sf_of(sf_dir)
+    n_images = max(2000, int(600_000 * sf))
+    # the checkpoint planner partitions ONE parquet file by row groups
+    # (plan_partitions), so the demo uses a single-file fixture with
+    # bench-read row groups rather than the bench's multi-file layout
+    img_path = (
+        f"/tmp/wd_cache/ckpt_images_n{n_images}_s{BENCH_SEED}"
+        f"_sz{BENCH_IMG_SIZE}_f1_v{FIXTURE_VERSION}.parquet"
+    )
+    ensure_cached(
+        img_path,
+        lambda: write_images_parquet(
+            img_path, n=n_images, seed=BENCH_SEED, size=BENCH_IMG_SIZE,
+            row_group_size=2048, num_files=1,
+        ),
+    )
+    root = "/tmp/wd_resume_demo"
+    shutil.rmtree(root, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    cold = run_checkpointed(img_path, os.path.join(root, "cold"))
+    cold_sec = time.perf_counter() - t0
+
+    # crash mid-verification: edge shards >= 8 raise AFTER candidates
+    # and the first 8 edge shards are durable
+    crash_dir = os.path.join(root, "crash")
+    t1 = time.perf_counter()
+    try:
+        run_checkpointed(img_path, crash_dir, _fail_edge_shards_ge=8)
+        raise AssertionError("fault injection did not fire")
+    except Exception:
+        pass
+    crashed_sec = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+    resumed = run_checkpointed(img_path, crash_dir)
+    resume_sec = time.perf_counter() - t2
+    m = resumed["metrics"]
+    assert m["partitions_computed"] == 0, m
+    assert m["cand_shards_computed"] == 0, m
+
+    ray.shutdown()
+    return {
+        "metric": "resume_demo",
+        "value": round(resume_sec, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_images": n_images,
+        "cold_sec": round(cold_sec, 3),
+        "crashed_partial_sec": round(crashed_sec, 3),
+        "resume_sec": round(resume_sec, 3),
+        "resume_speedup_vs_cold": round(cold_sec / resume_sec, 2),
+        "resume_metrics": m,
+        "cold_metrics": cold["metrics"],
+    }
+
+
 def _burn(_):
     t0 = time.perf_counter()
     x = 0
@@ -430,6 +514,10 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+        return
+    if "--resume-demo" in sys.argv:
+        print(json.dumps(run_resume_demo(
+            os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01"))))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     print(json.dumps(run_bench(sf_dir, num_cpus,
