@@ -376,7 +376,9 @@ def docs_unique_text(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     if singles.count() > DOCS_UNIQUE_BROADCAST_GATE:
         return docs.join(
-            singles, "left_semi", 16, on=("text",)
+            singles, "left_semi",
+            _window_nparts(_table_rows(sf_dir, "documents")),
+            on=("text",),
         ).select_columns(["doc_id"])
 
     import ray as _ray
@@ -495,7 +497,11 @@ def customers_without_big_orders(sf_dir: str) -> ray.data.Dataset:
         )
         .rename_columns({"o_custkey": "c_custkey"})
     )
-    return cust.join(big, "left_anti", 8, on=("c_custkey",))
+    return cust.join(
+        big, "left_anti",
+        _window_nparts(_table_rows(sf_dir, "customer")),
+        on=("c_custkey",),
+    )
 
 
 def nations_customers_and_suppliers(sf_dir: str) -> ray.data.Dataset:
@@ -516,6 +522,9 @@ def nations_customers_and_suppliers(sf_dir: str) -> ray.data.Dataset:
         .select_columns(["s_nationkey"])
         .rename_columns({"s_nationkey": "nationkey"})
     )
+    # both sides are pre-aggregated DISTINCT nation keys (bounded by the
+    # nation dimension, |nation| rows at any fact scale), so a small
+    # fixed partition count is the data-sized choice here
     return c.join(s, "left_semi", 4, on=("nationkey",))
 
 
@@ -906,7 +915,11 @@ def customer_order_stats(sf_dir: str) -> ray.data.Dataset:
         )
     )
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    joined = cust.join(agg, "left_outer", 16, on=("c_custkey",))
+    joined = cust.join(
+        agg, "left_outer",
+        _window_nparts(_table_rows(sf_dir, "customer")),
+        on=("c_custkey",),
+    )
 
     def fill(t: pa.Table) -> pa.Table:
         n = pc.fill_null(t["n_orders"], pa.scalar(0, pa.int64()))
@@ -1022,7 +1035,9 @@ def top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(filt_orders, batch_format="pyarrow")
     return (
-        li.join(orders, "inner", 16, on=("l_orderkey",))
+        li.join(orders, "inner",
+                _window_nparts(_table_rows(sf_dir, "orders")),
+                on=("l_orderkey",))
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
