@@ -215,3 +215,34 @@ def test_ensure_cached_revalidates_before_destroy(tmp_path, monkeypatch):
     )
     assert out == p
     assert pq.read_table(p).num_rows == 1
+
+
+# --- Q4 / Q17 relational shapes (round-5 widening) ---------------------------
+
+def test_small_qty_join_paths_bit_equal(ray_session, monkeypatch):
+    """The TPC-H Q17 shape must produce identical results through the
+    broadcast stats attach (below gate) and the hash shuffle join
+    (forced above gate)."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    broadcast = _sorted_df(q.small_qty_parts_by_brand(SF_DIR))
+    monkeypatch.setattr(q, "SMALL_QTY_JOIN_GATE", 0)  # force shuffle join
+    shuffled = _sorted_df(q.small_qty_parts_by_brand(SF_DIR))
+    pd.testing.assert_frame_equal(broadcast, shuffled)
+    assert len(broadcast) > 0
+
+
+def test_returned_orders_semi_join_oracle(ray_session):
+    """EXISTS semi-join + grouped count vs DuckDB (TPC-H Q4 shape)."""
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    got = _sorted_df(q.returned_orders_by_priority(SF_DIR))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    want = _sorted_df(con.sql(q.SQL_ORACLES["returned_orders_by_priority"]).df())
+    assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+    assert [int(x) for x in got["n_orders"]] == [int(x) for x in want["n_orders"]]

@@ -1228,6 +1228,128 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def returned_orders_by_priority(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-EXISTS semi-join + grouped count (TPC-H Q4 shape):
+    orders with at least one returned lineitem, counted per priority.
+
+    Scale shape: the EXISTS subquery is a fact-scale key set, so it is
+    pre-aggregated to DISTINCT orderkeys (one row per qualifying order,
+    not per lineitem) before a hash-partitioned left_semi join; only the
+    tiny (priority, count) aggregate shuffles afterward. No broadcast —
+    both sides are fact-sized."""
+    returned = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(
+                ["l_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey"])
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    )
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .join(returned, "left_semi",
+              _window_nparts(_table_rows(sf_dir, "orders")),
+              on=("o_orderkey",))
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+SMALL_QTY_JOIN_GATE = 2_000_000  # per-part stats rows; above this, shuffle
+
+
+def small_qty_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """Fact table filtered against its OWN per-group aggregate (TPC-H Q17
+    shape): lineitems whose quantity is below 20% of their part's average
+    quantity, counted and summed per brand.
+
+    Integer-exact predicate: q < 0.2·avg(q) ⇔ 5·q·cnt < sum_qty with
+    whole-number quantities cast to int64 (safe cast — a non-integral
+    quantity raises instead of silently rounding), so the oracle compare
+    is bit-stable with no float division on either side.
+
+    Scale shape: per-part (sum, count) stats are a dimension-sized
+    aggregate (one row per part key). Below the gate they are broadcast
+    once (ray.put, vectorized index_in probe inside map_batches; the
+    brand lookup rides the same bundle). Above the gate the stats attach
+    via a hash shuffle join on l_partkey — only (partkey, qty) pairs and
+    the stats rows move, never full lineitem rows — and the brand lookup
+    stays a broadcast (true dimension table)."""
+    qty = pa.int64()
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], qty),  # safe: raises on frac
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        narrow, batch_format="pyarrow"
+    )
+    stats = li.groupby("l_partkey").aggregate(
+        Sum("qty", alias_name="sum_qty"), Count(alias_name="cnt")
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).combine_chunks()
+    bref = ray.put(part)
+
+    def brand_of(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
+        p = ray.get(bref)
+        pos = pc.index_in(keys, value_set=p["p_partkey"].combine_chunks())
+        return p["p_brand"].take(pos)
+
+    def small_filter(t: pa.Table) -> pa.Table:
+        """Rows with 5·qty·cnt < sum_qty (qty strictly below 0.2·avg)."""
+        lhs = pc.multiply(
+            pc.multiply(pc.cast(t["qty"], qty), pa.scalar(5, qty)), t["cnt"]
+        )
+        t = t.filter(pc.less(lhs, t["sum_qty"]))
+        return pa.table({"p_brand": brand_of(t["l_partkey"]), "qty": t["qty"]})
+
+    if _table_rows(sf_dir, "part") <= SMALL_QTY_JOIN_GATE:
+        # dimension-sized: one row per part key — gather once, ray.put once
+        stats_local = pa.concat_tables(
+            ray.get(stats.to_arrow_refs())
+        ).combine_chunks()
+        sref = ray.put(stats_local)
+
+        def attach_broadcast(t: pa.Table) -> pa.Table:
+            s = ray.get(sref)
+            pos = pc.index_in(
+                t["l_partkey"], value_set=s["l_partkey"].combine_chunks()
+            )
+            joined = pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "qty": t["qty"],
+                    "sum_qty": s["sum_qty"].take(pos),
+                    "cnt": s["cnt"].take(pos),
+                }
+            )
+            return small_filter(joined)
+
+        out = li.map_batches(attach_broadcast, batch_format="pyarrow")
+    else:
+        joined = li.join(
+            stats, "inner",
+            _window_nparts(_table_rows(sf_dir, "lineitem")),
+            on=("l_partkey",),
+        )
+        out = joined.map_batches(small_filter, batch_format="pyarrow")
+    return out.groupby("p_brand").aggregate(
+        Count(alias_name="n_small"), Sum("qty", alias_name="small_qty")
+    )
+
+
 def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
     """Argmax-per-group (max_by shape): each user's latest event, ties on
     ts broken by the larger event_id. Partition-parallel: each task sorts
@@ -1776,6 +1898,30 @@ SQL_ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "returned_orders_by_priority": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "small_qty_parts_by_brand": """
+        WITH s AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS small_qty
+        FROM lineitem l
+        JOIN s USING (l_partkey)
+        JOIN part ON p_partkey = l.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+        GROUP BY p_brand
     """,
 }
 
@@ -2739,4 +2885,6 @@ SQL_QUERIES: dict[str, Callable] = {
     "ann_topk_ivf_full": ann_topk_ivf_full,
     "embedding_neardup_cosine": embedding_neardup_cosine,
     "customers_per_region": customers_per_region,
+    "returned_orders_by_priority": returned_orders_by_priority,
+    "small_qty_parts_by_brand": small_qty_parts_by_brand,
 }
