@@ -246,3 +246,35 @@ def test_returned_orders_semi_join_oracle(ray_session):
     want = _sorted_df(con.sql(q.SQL_ORACLES["returned_orders_by_priority"]).df())
     assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
     assert [int(x) for x in got["n_orders"]] == [int(x) for x in want["n_orders"]]
+
+
+# --- HyperLogLog register sketch ---------------------------------------------
+
+def test_hll_registers_estimate_accuracy(ray_session):
+    """Finalizing the HLL register table must estimate the exact
+    per-type distinct-user counts within the sketch's error bound
+    (p=8 -> ~6.5% standard error; linear counting below 2.5m)."""
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    regs = q.hll_registers_users_per_type(SF_DIR).to_pandas()
+    m = 1 << q.HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')")
+    exact = dict(
+        con.sql("SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+                "GROUP BY event_type").fetchall()
+    )
+    assert set(regs["event_type"]) == set(exact)
+    for et, grp in regs.groupby("event_type"):
+        rho = np.zeros(m, dtype=np.int64)
+        rho[grp["bucket"].to_numpy()] = grp["max_rho"].to_numpy()
+        est = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+        zeros = int(np.sum(rho == 0))
+        if est <= 2.5 * m and zeros > 0:  # small-range correction
+            est = m * np.log(m / zeros)
+        rel = abs(est - exact[et]) / exact[et]
+        assert rel < 0.2, (et, est, exact[et], rel)

@@ -1350,6 +1350,72 @@ def small_qty_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+HLL_P = 8                      # 2^8 = 256 registers per group key
+HLL_W = 64 - HLL_P             # rank field width; max rho = HLL_W + 1
+HLL_SALT = 77                  # fixed sketch salt (mix64 salt slot)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hll_registers_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Approximate COUNT DISTINCT sketch (HyperLogLog registers) per
+    event_type — the 100 TB-scale path for `distinct_users_per_type`:
+    the exact query shuffles every distinct (type, user) pair; this one
+    shuffles at most |types| x 256 integer register rows regardless of
+    input size, because each map_batches task pre-aggregates its batch
+    to per-(type, bucket) rank maxima before the tiny global groupby-max
+    (registers are mergeable by max, the classic sketch property).
+
+    Output is the REGISTER TABLE (event_type, bucket, max_rho), not the
+    float estimate: registers are deterministic integers (splitmix64 of
+    user_id via phash.mix64), so the driver's bit-exact hash compare
+    applies; the estimate alpha*m^2 / sum(2^-rho) is a trivial driver-
+    side finalization of these 256 values per key. The SQL oracle
+    restates the full hash: mod-2^64 splitmix64 in HUGEINT arithmetic,
+    leading-zero rank via length(ltrim(bin(rem),'0'))."""
+    shift_p = np.uint64(HLL_P)
+    shift_bucket = np.uint64(64 - HLL_P)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from well_duplicates_ray.functions.phash import mix64
+
+        uid = t["user_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = mix64(uid, HLL_SALT)
+        bucket = (h >> shift_bucket).astype(np.int64)
+        rem = h << shift_p  # remaining HLL_W bits, left-aligned
+        x = rem.copy()
+        for s in (1, 2, 4, 8, 16, 32):  # smear MSB right: x -> 2^bitlen - 1
+            x |= x >> np.uint64(s)
+        bitlen = _POP8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1)
+        rho = np.where(rem == np.uint64(0), HLL_W + 1, 65 - bitlen).astype(
+            np.int64
+        )
+        agg = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "bucket": pa.array(bucket),
+                    "rho": pa.array(rho),
+                }
+            )
+            .group_by(["event_type", "bucket"])
+            .aggregate([("rho", "max")])
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "bucket": agg["bucket"],
+                "rho": agg["rho_max"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max("rho", alias_name="max_rho"))
+    )
+
+
 def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
     """Argmax-per-group (max_by shape): each user's latest event, ties on
     ts broken by the larger event_id. Partition-parallel: each task sorts
@@ -2350,6 +2416,36 @@ SQL_ORACLES["simhash_documents"], SQL_ORACLES["minhash_documents"] = (
     _sketch_oracles()
 )
 
+# HyperLogLog registers restated in SQL: the same splitmix64 finalizer
+# chain as phash.mix64 (salt-add, xor-shift 30, mul, xor-shift 27, mul,
+# xor-shift 31) in HUGEINT mod-2^64 arithmetic; the leading-zero rank of
+# the left-aligned low bits comes from length(ltrim(bin(rem),'0')) —
+# DuckDB's bin() is unpadded, so 65 - bitlen == clz + 1.
+_HLL_SALT_ADD = (HLL_SALT * 0x6A09E667F3BCC909) % (1 << 64)
+SQL_ORACLES["hll_registers_users_per_type"] = f"""
+    WITH u AS (SELECT event_type,
+                      (((user_id::HUGEINT % {_M64}) + {_M64}) % {_M64})::UBIGINT AS uid
+               FROM events),
+    m0 AS (SELECT event_type,
+                  ((uid::HUGEINT + {_HLL_SALT_ADD}) % {_M64})::UBIGINT AS z
+           FROM u),
+    m1 AS (SELECT event_type, xor(z, z >> 30) AS z FROM m0),
+    m2 AS (SELECT event_type, {_mulmod64('z', 0xBF58476D1CE4E5B9)} AS z FROM m1),
+    m3 AS (SELECT event_type, xor(z, z >> 27) AS z FROM m2),
+    m4 AS (SELECT event_type, {_mulmod64('z', 0x94D049BB133111EB)} AS z FROM m3),
+    h AS (SELECT event_type, xor(z, z >> 31) AS h FROM m4),
+    b AS (SELECT event_type, (h >> {64 - HLL_P})::BIGINT AS bucket,
+                 ((h::HUGEINT * {1 << HLL_P}) % {_M64})::UBIGINT AS rem
+          FROM h),
+    r AS (SELECT event_type, bucket,
+                 CAST(CASE WHEN rem = 0 THEN {HLL_W + 1}
+                      ELSE 65 - length(ltrim(bin(rem), '0')) END AS BIGINT)
+                     AS rho
+          FROM b)
+    SELECT event_type, bucket, MAX(rho) AS max_rho
+    FROM r GROUP BY event_type, bucket
+"""
+
 SQL_ORACLES["top3_orders_per_cust"] = f"""
     SELECT c_custkey, o_orderkey, price_cents, rn FROM (
         SELECT o_custkey AS c_custkey, o_orderkey,
@@ -2887,4 +2983,5 @@ SQL_QUERIES: dict[str, Callable] = {
     "customers_per_region": customers_per_region,
     "returned_orders_by_priority": returned_orders_by_priority,
     "small_qty_parts_by_brand": small_qty_parts_by_brand,
+    "hll_registers_users_per_type": hll_registers_users_per_type,
 }
