@@ -1416,6 +1416,107 @@ def hll_registers_users_per_type(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def props_value_sum_by_type(sf_dir: str) -> ray.data.Dataset:
+    """JSON scalar extraction + grouped aggregate (SURVEY §2.B scalar-
+    function coverage, json flavor): pull the integer `k` field out of
+    the events.props JSON string and sum it per event type.
+
+    The extraction is one vectorized RE2 pass (pc.extract_regex) inside
+    map_batches — no per-row json.loads in the hot path; the grouped sum
+    shuffles |types| integer rows. The oracle uses DuckDB's real JSON
+    parser (json_extract), so the regex shortcut is cross-checked
+    against a full parser rather than against itself."""
+    pat = r'"k":\s*(?P<v>-?\d+)'
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=pat)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": pc.cast(pc.struct_field(m, "v"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k", alias_name="sum_k"), Count(alias_name="n_events")
+        )
+    )
+
+
+SAMPLE_K = 3                   # bottom-k sample size per group
+SAMPLE_SALT = 101              # independent hash stream from HLL_SALT
+
+
+def sample_users_bottomk(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic distributed sampling (the scalable, reproducible
+    analog of the reference's random target sampler, SURVEY §2.A R5):
+    for each event_type, the SAMPLE_K distinct users with the smallest
+    seeded hash — a uniform sample whose MEMBERSHIP is a pure function
+    of the data and the seed, invariant to partitioning and cluster
+    size (ds.random_sample cannot provide that reproducibility).
+
+    Scale shape: each map_batches task dedupes its batch and keeps only
+    its k smallest (hash, user) rows per type — a partial bottom-k
+    combiner — so at most k rows per (task, type) shuffle into the tiny
+    final per-type merge. Hash order is UNSIGNED uint64 everywhere (the
+    int64 column carries the bit pattern; both kernels and the SQL
+    oracle order on the unsigned value)."""
+    from well_duplicates_ray.functions.phash import mix64
+
+    def bottomk(tb: pa.Table, k: int) -> pa.Table:
+        et = tb["event_type"].to_numpy(zero_copy_only=False)
+        h = tb["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        uid = tb["user_id"].to_numpy(zero_copy_only=False)  # signed, = SQL
+        order = np.lexsort((uid, h, et))
+        et_s = et[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], et_s[1:] != et_s[:-1]))
+        )
+        seg = np.arange(len(et_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(et_s)))
+        )
+        keep = order[seg < k]
+        out = tb.take(pa.array(keep))
+        return out.append_column(
+            "rn", pa.array((seg[seg < k] + 1).astype(np.int64))
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {"event_type": t["event_type"], "user_id": t["user_id"]}
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+        uid = d["user_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = mix64(uid, SAMPLE_SALT).view(np.int64)
+        tb = pa.table(
+            {
+                "event_type": d["event_type"],
+                "user_id": d["user_id"],
+                "h": pa.array(h),
+            }
+        )
+        return bottomk(tb, SAMPLE_K).drop_columns(["rn"])
+
+    def final(g: pa.Table) -> pa.Table:
+        # duplicates across tasks collapse before ranking
+        g = g.group_by(["event_type", "user_id", "h"]).aggregate([])
+        return bottomk(g, SAMPLE_K).drop_columns(["h"])
+
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
     """Argmax-per-group (max_by shape): each user's latest event, ties on
     ts broken by the larger event_id. Partition-parallel: each task sorts
@@ -1965,6 +2066,13 @@ SQL_ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,
+    "props_value_sum_by_type": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
     "returned_orders_by_priority": """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders
@@ -2444,6 +2552,33 @@ SQL_ORACLES["hll_registers_users_per_type"] = f"""
           FROM b)
     SELECT event_type, bucket, MAX(rho) AS max_rho
     FROM r GROUP BY event_type, bucket
+"""
+
+# Deterministic bottom-k sample: same mix64 restatement, independent
+# salt stream; UBIGINT h orders unsigned on both sides, signed user_id
+# breaks (practically impossible) hash ties identically.
+_SAMPLE_SALT_ADD = (SAMPLE_SALT * 0x6A09E667F3BCC909) % (1 << 64)
+SQL_ORACLES["sample_users_bottomk"] = f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    u AS (SELECT event_type, user_id,
+                 (((user_id::HUGEINT % {_M64}) + {_M64}) % {_M64})::UBIGINT
+                     AS uid
+          FROM d),
+    m0 AS (SELECT event_type, user_id,
+                  ((uid::HUGEINT + {_SAMPLE_SALT_ADD}) % {_M64})::UBIGINT AS z
+           FROM u),
+    m1 AS (SELECT event_type, user_id, xor(z, z >> 30) AS z FROM m0),
+    m2 AS (SELECT event_type, user_id,
+                  {_mulmod64('z', 0xBF58476D1CE4E5B9)} AS z FROM m1),
+    m3 AS (SELECT event_type, user_id, xor(z, z >> 27) AS z FROM m2),
+    m4 AS (SELECT event_type, user_id,
+                  {_mulmod64('z', 0x94D049BB133111EB)} AS z FROM m3),
+    hh AS (SELECT event_type, user_id, xor(z, z >> 31) AS h FROM m4),
+    r AS (SELECT event_type, user_id,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY h, user_id) AS rn
+          FROM hh)
+    SELECT event_type, user_id, rn FROM r WHERE rn <= {SAMPLE_K}
 """
 
 SQL_ORACLES["top3_orders_per_cust"] = f"""
@@ -2984,4 +3119,6 @@ SQL_QUERIES: dict[str, Callable] = {
     "returned_orders_by_priority": returned_orders_by_priority,
     "small_qty_parts_by_brand": small_qty_parts_by_brand,
     "hll_registers_users_per_type": hll_registers_users_per_type,
+    "props_value_sum_by_type": props_value_sum_by_type,
+    "sample_users_bottomk": sample_users_bottomk,
 }
