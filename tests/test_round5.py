@@ -278,3 +278,102 @@ def test_hll_registers_estimate_accuracy(ray_session):
             est = m * np.log(m / zeros)
         rel = abs(est - exact[et]) / exact[et]
         assert rel < 0.2, (et, est, exact[et], rel)
+
+
+# --- Levenshtein edit-distance verify -----------------------------------------
+
+def _lev_brute(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_kernel_matches_brute_and_duckdb():
+    import duckdb
+
+    from well_duplicates_ray.functions.editdist import levenshtein
+
+    rng = np.random.default_rng(7)
+    alpha = "abcde"
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+             ("kitten", "sitting"), ("flaw", "lawn")]
+    for _ in range(40):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 30)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 30)))
+        cases.append((a, b))
+    con = duckdb.connect()
+    for a, b in cases:
+        got = levenshtein(a.encode(), b.encode())
+        assert got == _lev_brute(a, b), (a, b)
+        want = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        assert got == want, (a, b, got, want)
+
+
+def test_editdist_pairs_oracle_and_paths(ray_session, monkeypatch):
+    """editdist_verify_pairs must match DuckDB's levenshtein() over the
+    pairs closure, and the broadcast / shuffle-join attach paths must be
+    bit-equal."""
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    broadcast = _sorted_df(q.editdist_verify_pairs(SF_DIR))
+    monkeypatch.setattr(q, "EDITDIST_BROADCAST_GATE", -1)  # force joins
+    joined = _sorted_df(q.editdist_verify_pairs(SF_DIR))
+    pd.testing.assert_frame_equal(broadcast, joined)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = _sorted_df(con.sql(q.SQL_ORACLES["editdist_verify_pairs"]).df())
+    assert len(broadcast) == len(want) > 0
+    for c in ("a", "b", "edit_dist"):
+        assert [int(x) for x in broadcast[c]] == [int(x) for x in want[c]], c
+
+
+# --- LAG window + ordered string_agg ------------------------------------------
+
+def test_event_interarrival_oracle(ray_session):
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    got = _sorted_df(q.event_interarrival(SF_DIR))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')")
+    want = _sorted_df(con.sql(q.SQL_ORACLES["event_interarrival"]).df())
+    assert len(got) == len(want) > 0
+    for c in ("event_id", "gap_us"):
+        assert [int(x) for x in got[c]] == [int(x) for x in want[c]], c
+
+
+def test_supplier_names_by_nation_oracle(ray_session):
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    got = _sorted_df(q.supplier_names_by_nation(SF_DIR))
+    con = duckdb.connect()
+    for t in ("supplier", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    want = _sorted_df(con.sql(q.SQL_ORACLES["supplier_names_by_nation"]).df())
+    pd.testing.assert_frame_equal(got.astype({"n_suppliers": "int64"}),
+                                  want.astype({"n_suppliers": "int64"}))
+
+
+def test_supplier_names_partition_count_invariant(ray_session, monkeypatch):
+    """More partitions must not split a nation's string_agg — the pid
+    hash keys whole nations, so the result is partition-count invariant."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(q.supplier_names_by_nation(SF_DIR))
+    monkeypatch.setattr(q, "WINDOW_PARTITION_TARGET_ROWS", 2)
+    many = _sorted_df(q.supplier_names_by_nation(SF_DIR))
+    pd.testing.assert_frame_equal(base, many)

@@ -1918,6 +1918,93 @@ def events_moving_sum3(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def event_interarrival(sf_dir: str) -> ray.data.Dataset:
+    """LAG window: microseconds since the user's previous event, -1 for
+    each user's first event (COALESCE'd on both sides so the compare has
+    no NULL-hash ambiguity). Same partition-parallel shape as the rest
+    of the window family (_events_pid): one task per user-hash
+    partition, one shifted-difference pass answers every LAG."""
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid, ts, eid, _order = _sorted_events(g)
+        n = uid.size
+        gap = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        starts = _segment_starts(uid)
+        gap[np.arange(n) == starts] = -1  # segment firsts have no LAG
+        return pa.table({"event_id": pa.array(eid), "gap_us": pa.array(gap)})
+
+    nparts = _window_nparts(_table_rows(sf_dir, "events"))
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(lambda t: _events_pid(t, 7575, nparts),
+                     batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(gaps, batch_format="pyarrow")
+        .select_columns(["event_id", "gap_us"])
+    )
+
+
+def supplier_names_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    per nation, the comma-joined sorted supplier names plus the count.
+
+    Scale note: an ordered string_agg's VALUE is O(group) by definition,
+    so each group must finish in one task — inherently a dimension-scale
+    aggregate (supplier names per nation). The shape still follows the
+    window family: nations hash into data-sized partitions, each task
+    sorts once and emits one row per nation segment; the only per-group
+    Python is the final join over the (already sorted) name slices —
+    one op per OUTPUT row, not per input row."""
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).combine_chunks()
+    nref = ray.put(nat)
+
+    def agg(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("s_nationkey", "ascending"), ("s_name", "ascending")],
+        )
+        g = g.take(idx)
+        nk = g["s_nationkey"].to_numpy()
+        names = g["s_name"].to_pylist()
+        bounds = np.r_[np.unique(_segment_starts(nk)), nk.size]
+        keys = nk[bounds[:-1]]
+        csv = [",".join(names[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+        n = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        nt = ray.get(nref)
+        pos = pc.index_in(
+            pa.array(keys, pa.int32()), value_set=nt["n_nationkey"]
+        )
+        return pa.table(
+            {
+                "n_name": nt["n_name"].take(pos),
+                "n_suppliers": pa.array(n),
+                "names_csv": pa.array(csv, pa.string()),
+            }
+        )
+
+    from well_duplicates_ray.functions.phash import mix64
+
+    nparts = _window_nparts(_table_rows(sf_dir, "supplier"))
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy().astype(np.int64)
+        pid = (mix64(nk.view(np.uint64), 7676)
+               % np.uint64(nparts)).astype(np.int32)
+        return t.append_column("pid", pa.array(pid))
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+        .map_batches(add_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(agg, batch_format="pyarrow")
+        .select_columns(["n_name", "n_suppliers", "names_csv"])
+    )
+
+
 def orders_rollup(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP(status, priority): counts at all three grouping
     levels with NULLs marking rolled-up columns. Ray shape: the finest
@@ -2382,6 +2469,15 @@ SQL_ORACLES["neardup_documents_pairs"] = f"""
     LEFT JOIN jac j ON j.a = p.a AND j.b = p.b
 """
 
+SQL_ORACLES["editdist_verify_pairs"] = f"""
+    WITH {_NEARDUP_PAIRS_CTE}
+    SELECT p.a, p.b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM pairs p
+    JOIN d da ON da.doc_id = p.a
+    JOIN d db ON db.doc_id = p.b
+"""
+
 # the rolling fingerprint's uint64 wraparound arithmetic restated in
 # HUGEINT mod-2^64 (engine formula, textstats.py::rolling_fingerprint:
 # h = (seed*B + sum_j byte[j]*B^(len-1-j)) * B + len). ord() == the byte
@@ -2603,6 +2699,23 @@ SQL_ORACLES["events_moving_sum3"] = f"""
     FROM events
 """
 
+SQL_ORACLES["event_interarrival"] = """
+    SELECT event_id,
+           COALESCE(date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), ts),
+                    -1) AS gap_us
+    FROM events
+"""
+
+SQL_ORACLES["supplier_names_by_nation"] = """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS names_csv
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+"""
+
 SQL_ORACLES["orders_rollup"] = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -2644,6 +2757,105 @@ def neardup_documents_pairs(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
     edges = run_text_neardup(docs, DOC_CFG)["edges"]
     return edges.select_columns(["a", "b", "kind", "jaccard"])
+
+
+# Pair-participating doc count above which the editdist text attach
+# switches from a filtered broadcast to hash shuffle joins (same gate
+# pattern as small_qty_parts_by_brand / stages/verify.py G14).
+EDITDIST_BROADCAST_GATE = 2_000_000
+
+
+def editdist_verify_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact Levenshtein edit distance per verified near-dup pair — the
+    byte-level divergence confirm alongside the Jaccard/LCS verifiers
+    (SURVEY.md §2.B verify family); oracle is DuckDB's levenshtein()
+    over the same pairs closure.
+
+    Scale shape: edit distance is a PAIR predicate, so the corpus never
+    moves — only pair-participating texts do. Below the gate the pair id
+    set (O(pairs)) stream-filters the documents read and the matched
+    texts ride one ray.put bundle; above it the texts attach via two
+    hash shuffle joins on the pair keys (no driver materialization of
+    anything fact-sized)."""
+    from well_duplicates_ray.functions.editdist import levenshtein_pairs
+    from well_duplicates_ray.pipelines.neardup import auto_partitions
+    from well_duplicates_ray.pipelines.text_neardup import run_text_neardup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+    edges = (
+        run_text_neardup(docs, DOC_CFG)["edges"]
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    n_pairs = edges.count()
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(t["doc_id"], pa.int64()),
+                "text": pc.fill_null(t["text"], "").cast(pa.string()),
+            }
+        )
+
+    texts = _read(sf_dir, "documents", ["doc_id", "text"],
+                  num_blocks=16).map_batches(narrow, batch_format="pyarrow")
+
+    if 2 * n_pairs <= EDITDIST_BROADCAST_GATE:
+        pair_ids = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        idset = pc.unique(
+            pa.chunked_array(
+                [pair_ids["a"].combine_chunks(),
+                 pair_ids["b"].combine_chunks()]
+            ).combine_chunks()
+        )
+        matched = texts.map_batches(
+            lambda t: t.filter(
+                pc.fill_null(pc.is_in(t["node"], value_set=idset), False)
+            ),
+            batch_format="pyarrow",
+        )
+        # O(pairs) rows by construction — gather once, ship once
+        local = pa.concat_tables(
+            ray.get(matched.to_arrow_refs())
+        ).combine_chunks()
+        tref = ray.put(local)
+
+        def ed_broadcast(t: pa.Table) -> pa.Table:
+            loc = ray.get(tref)
+            nodes = loc["node"].combine_chunks()
+            ta = loc["text"].take(pc.index_in(t["a"], value_set=nodes))
+            tb = loc["text"].take(pc.index_in(t["b"], value_set=nodes))
+            return pa.table(
+                {
+                    "a": t["a"],
+                    "b": t["b"],
+                    "edit_dist": pa.array(levenshtein_pairs(ta, tb)),
+                }
+            )
+
+        return edges.map_batches(ed_broadcast, batch_format="pyarrow")
+
+    nparts = auto_partitions(2 * n_pairs)
+    joined = edges.join(
+        texts.rename_columns({"node": "a", "text": "text_a"}),
+        "inner", nparts, on=("a",),
+    ).join(
+        texts.rename_columns({"node": "b", "text": "text_b"}),
+        "inner", nparts, on=("b",),
+    )
+
+    def ed_joined(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "edit_dist": pa.array(
+                    levenshtein_pairs(t["text_a"], t["text_b"])
+                ),
+            }
+        )
+
+    return joined.map_batches(ed_joined, batch_format="pyarrow")
 
 
 def simhash_documents(sf_dir: str) -> ray.data.Dataset:
@@ -3065,6 +3277,7 @@ def image_features(sf_dir: str) -> ray.data.Dataset:
 EXTRA_QUERIES: dict[str, Callable] = {
     "neardup_documents_minhash": neardup_documents_minhash,
     "neardup_documents_pairs": neardup_documents_pairs,
+    "editdist_verify_pairs": editdist_verify_pairs,
     "simhash_documents": simhash_documents,
     "minhash_documents": minhash_documents,
     "langid_documents": langid_documents,
@@ -3111,6 +3324,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "trailing_user_value_1h": trailing_user_value_1h,
     "top3_orders_per_cust": top3_orders_per_cust,
     "events_moving_sum3": events_moving_sum3,
+    "event_interarrival": event_interarrival,
+    "supplier_names_by_nation": supplier_names_by_nation,
     "orders_rollup": orders_rollup,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf_full": ann_topk_ivf_full,
