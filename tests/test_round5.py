@@ -377,3 +377,17 @@ def test_supplier_names_partition_count_invariant(ray_session, monkeypatch):
     monkeypatch.setattr(q, "WINDOW_PARTITION_TARGET_ROWS", 2)
     many = _sorted_df(q.supplier_names_by_nation(SF_DIR))
     pd.testing.assert_frame_equal(base, many)
+
+
+def test_top_tokens_corpus_oracle(ray_session):
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    got = q.top_tokens_corpus(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = con.sql(q.SQL_ORACLES["top_tokens_corpus"]).df()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]]

@@ -204,6 +204,37 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+TOP_TOKENS_K = 20
+
+
+def top_tokens_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level token frequency top-k — the explode-then-aggregate
+    shape with a per-batch partial combiner: each task value_counts its
+    own exploded tokens, so only distinct (token, n) rows per task ever
+    shuffle (vocabulary-sized, not token-occurrence-sized), then one
+    small groupby sums the partials and a deterministic (n DESC, token)
+    sort takes the top K."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.fill_null(t["text"], ""))
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(TOP_TOKENS_K)
+    )
+
+
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Content fingerprint per document (md5 hex — exact-dedup key).
 
@@ -2094,6 +2125,18 @@ SQL_ORACLES: dict[str, str] = {
                    AS n_tokens
         FROM documents
     """,
+    "top_tokens_corpus": r"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(COALESCE(text, ''), '\s+'))
+                 AS token
+          FROM documents
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """,
     "doc_fingerprint": """
         SELECT doc_id, md5(text) AS fp FROM documents
     """,
@@ -3302,6 +3345,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "events_hourly": events_hourly,
     "distinct_langs": distinct_langs,
     "token_count": token_count,
+    "top_tokens_corpus": top_tokens_corpus,
     "doc_fingerprint": doc_fingerprint,
     "part_topk_price": part_topk_price,
     "running_value_per_user": running_value_per_user,
