@@ -32,7 +32,7 @@ import pyarrow as pa
 
 def levenshtein(s: bytes, t: bytes) -> int:
     """Exact edit distance between two byte strings."""
-    if len(s) < len(t):  # DP rows iterate the longer side: wider vectors
+    if len(s) > len(t):  # iterate the SHORTER side: fewer, wider DP rows
         s, t = t, s
     if not t:
         return len(s)
