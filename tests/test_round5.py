@@ -391,3 +391,38 @@ def test_top_tokens_corpus_oracle(ray_session):
     want = con.sql(q.SQL_ORACLES["top_tokens_corpus"]).df()
     assert got["token"].tolist() == want["token"].tolist()
     assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]]
+
+
+def test_tiny_corpus_smaller_than_block_count(ray_session, tmp_path):
+    """A corpus smaller than the read's block count leaves empty
+    pass-through blocks carrying the SOURCE schema; every driver-side
+    gather must skip them (prepare_broadcast, components DSU, editdist
+    attach) instead of crashing on the schema mismatch."""
+    import pyarrow.parquet as pq2
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = str(tmp_path)
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the quick brown fox jumps over one lazy dog tonight",
+                 "the quick brown fox jumps over one lazy dog tonight",
+                 "completely different words describing an unrelated scene",
+                 "a fourth document sharing nothing with its neighbors"],
+    }), f"{d}/documents.parquet")
+    ed = q.editdist_verify_pairs(d).to_pandas()
+    assert ed.to_dict("records") == [{"a": 1, "b": 2, "edit_dist": 0}]
+    assert q.neardup_documents_minhash(d).count() == 4
+
+    # zero-duplicate corpus: empty pair set, stable schema
+    d2 = str(tmp_path / "nodup")
+    import os
+    os.makedirs(d2)
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["the quick brown fox jumps over one lazy dog tonight",
+                 "completely different words describing an unrelated scene"],
+    }), f"{d2}/documents.parquet")
+    ed2 = q.editdist_verify_pairs(d2)
+    assert ed2.count() == 0
+    assert ed2.schema().names == ["a", "b", "edit_dist"]

@@ -2831,6 +2831,16 @@ def editdist_verify_pairs(sf_dir: str) -> ray.data.Dataset:
         .materialize()
     )
     n_pairs = edges.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "edit_dist": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def narrow(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2844,7 +2854,10 @@ def editdist_verify_pairs(sf_dir: str) -> ray.data.Dataset:
                   num_blocks=16).map_batches(narrow, batch_format="pyarrow")
 
     if 2 * n_pairs <= EDITDIST_BROADCAST_GATE:
-        pair_ids = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        pair_ids = pa.concat_tables(
+            [t.select(["a", "b"])
+             for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
+        )
         idset = pc.unique(
             pa.chunked_array(
                 [pair_ids["a"].combine_chunks(),
@@ -2857,9 +2870,11 @@ def editdist_verify_pairs(sf_dir: str) -> ray.data.Dataset:
             ),
             batch_format="pyarrow",
         )
-        # O(pairs) rows by construction — gather once, ship once
+        # O(pairs) rows by construction — gather once, ship once (empty
+        # pass-through blocks of an over-partitioned read keep the SOURCE
+        # schema, so drop them before concat)
         local = pa.concat_tables(
-            ray.get(matched.to_arrow_refs())
+            [t for t in ray.get(matched.to_arrow_refs()) if t.num_rows > 0]
         ).combine_chunks()
         tref = ray.put(local)
 

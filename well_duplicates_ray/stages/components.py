@@ -154,7 +154,10 @@ def _components_driver_dsu(
     def _tables(ds):
         import ray as _ray
 
-        return [_ray.get(r) for r in ds.to_arrow_refs()]
+        # drop empty blocks: over-partitioned tiny inputs leave empty
+        # pass-through blocks that still carry the upstream schema
+        return [t for t in (_ray.get(r) for r in ds.to_arrow_refs())
+                if t.num_rows > 0]
 
     node_arr, comp = components_numpy(
         _tables(edges),

@@ -635,8 +635,12 @@ def prepare_broadcast(refs, cols: list[str], cfg_dict: dict) -> dict:
     numpy state dict (per-doc sets, signature matrix, phash codes —
     plasma zero-copy for every later verify task)."""
     cfg = DedupConfig.from_dict(cfg_dict)
+    # skip empty blocks: an over-partitioned tiny read leaves empty
+    # pass-through blocks that still carry the SOURCE schema (no feature
+    # columns); the caller guarantees n_rows > 0, so at least one
+    # non-empty feature block exists
     tbl = pa.concat_tables(
-        [t.select(cols) for t in ray.get(refs)]
+        [t.select(cols) for t in ray.get(refs) if t.num_rows > 0]
     ).combine_chunks()
     state = dict(build_doc_sets(tbl, cfg))
     # flat caption bytes + per-doc offsets: random access for the
