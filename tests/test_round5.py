@@ -426,3 +426,44 @@ def test_tiny_corpus_smaller_than_block_count(ray_session, tmp_path):
     ed2 = q.editdist_verify_pairs(d2)
     assert ed2.count() == 0
     assert ed2.schema().names == ["a", "b", "edit_dist"]
+
+
+# --- audio window energy -------------------------------------------------------
+
+def test_audio_frame_energy_matches_brute(ray_session):
+    """The batched flat-buffer window gather must equal a per-clip
+    brute-force recompute (RMS milli-quantized, peak, window counts),
+    and compressed formats must raise at the decoder seam."""
+    from well_duplicates_ray.pipelines import queries as q
+    from well_duplicates_ray.stages.multimodal import AudioFrameEnergy
+
+    out = q.audio_frame_energy(SF_DIR).to_pandas()
+    # every clip: len//1024 windows, ids aud000000..aud000199
+    lens = {0: 4096, 1: 8192, 2: 16384}
+    expect_rows = sum(lens[i % 3] // 1024 for i in range(200))
+    assert len(out) == expect_rows
+
+    # brute-force one clip end-to-end from the cached fixture
+    import pyarrow.parquet as pq2
+
+    tbl = pq2.read_table(q._mm_audio_path())
+    row = tbl.slice(5, 1)  # aud000005, 16384 samples
+    buf = np.frombuffer(row["bytes"][0].as_py(), dtype=np.int16)
+    got = out[out["audio_id"] == "aud000005"].sort_values("win_idx")
+    assert got["win_idx"].tolist() == list(range(len(buf) // 1024))
+    for j in range(len(buf) // 1024):
+        w = buf[j * 1024:(j + 1) * 1024].astype(np.int64)
+        rms = np.floor(np.sqrt(np.sum(w * w) / 1024) * 1000.0)
+        r = got[got["win_idx"] == j].iloc[0]
+        assert int(r["rms_mq"]) == int(rms)
+        assert int(r["peak"]) == int(np.max(np.abs(w)))
+
+    # codec seam: non-pcm16 fmt raises
+    bad = pa.table({
+        "audio_id": pa.array(["x"]),
+        "bytes": pa.array([b"\x00\x00"], pa.binary()),
+        "sample_rate": pa.array([16000], pa.int32()),
+        "fmt": pa.array(["mp3"]),
+    })
+    with pytest.raises(NotImplementedError):
+        AudioFrameEnergy(1024)(bad)

@@ -3288,6 +3288,62 @@ def _mm_videos_path() -> str:
     return ensure_cached(path, build)
 
 
+_AUD_N = 200
+_AUD_RATE = 16_000
+_AUD_LENS = (4096, 8192, 16_384)  # ragged clip lengths (samples)
+
+
+def _mm_audio_path() -> str:
+    from well_duplicates_ray.cachefs import (
+        commit_staging,
+        ensure_cached,
+        staging_path,
+    )
+    from well_duplicates_ray.fixtures import FIXTURE_VERSION
+
+    path = f"/tmp/wd_cache/audio_mm_n{_AUD_N}_s17_v{FIXTURE_VERSION}.parquet"
+
+    def build() -> None:
+        rng = np.random.default_rng(17)
+        bufs = [
+            rng.integers(-32768, 32768,
+                         _AUD_LENS[i % len(_AUD_LENS)],
+                         dtype=np.int16).tobytes()
+            for i in range(_AUD_N)
+        ]
+        tbl = pa.table(
+            {
+                "audio_id": pa.array([f"aud{i:06d}" for i in range(_AUD_N)]),
+                "bytes": pa.array(bufs, pa.binary()),
+                "sample_rate": pa.array([_AUD_RATE] * _AUD_N, pa.int32()),
+                "fmt": pa.array(["pcm16"] * _AUD_N, pa.string()),
+            }
+        )
+        stage = staging_path(path)
+        pq.write_table(tbl, stage)
+        commit_staging(stage, path)
+
+    return ensure_cached(path, build)
+
+
+def audio_frame_energy(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-window RMS energy + peak per PCM16 audio window over a
+    (synthetic, seed-pinned) raw-audio table — the audio leg of the
+    multimodal trio (one output row per 1024-sample window; PCM needs
+    no codec, so the kernel is real; compressed formats raise at the
+    decoder seam). Rows-only at the driver; the window math is pinned
+    against a brute-force recompute in tests."""
+    from well_duplicates_ray.stages.multimodal import AudioFrameEnergy
+
+    return ray.data.read_parquet(_mm_audio_path()).map_batches(
+        AudioFrameEnergy,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        fn_constructor_args=(1024,),
+    )
+
+
 def video_frame_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic k-frame sampling over a (synthetic, seed-pinned)
     raw-video table — the multimodal frame-sample plumbing (one output
@@ -3347,6 +3403,7 @@ EXTRA_QUERIES: dict[str, Callable] = {
     "image_resize_16": image_resize_16,
     "image_features": image_features,
     "video_frame_sample": video_frame_sample,
+    "audio_frame_energy": audio_frame_energy,
 }
 
 

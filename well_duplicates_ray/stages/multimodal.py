@@ -1,5 +1,6 @@
-"""Multimodal (image/video) operators: decode / resize / feature-extract /
-frame-sample as actor-pool map_batches stages (SURVEY.md extension ops).
+"""Multimodal (image/audio/video) operators: decode / resize /
+feature-extract / frame-sample / window-energy as actor-pool map_batches
+stages (SURVEY.md extension ops).
 
 The sandbox ships no image codec libraries (PIL/opencv/ffmpeg), so the
 codec seam is explicit and honest:
@@ -180,6 +181,61 @@ class VideoFrameSample:
                 "w": pc.take(batch["w"], vr),
                 "h": pc.take(batch["h"], vr),
                 "fmt": pa.array(np.full(m, "raw"), pa.string()),
+            }
+        )
+
+
+class AudioFrameEnergy:
+    """Actor-pool stage: fixed-window RMS energy + peak over raw PCM
+    audio, ONE OUTPUT ROW PER WINDOW (the audio analog of
+    VideoFrameSample's flat-map shape).
+
+    ``fmt='pcm16'`` payloads (mono int16 little-endian samples) are
+    computed FOR REAL — PCM needs no codec, so unlike the image/video
+    stages there is no stubbed kernel here; compressed formats
+    (mp3/ogg/flac) raise at the same seam an audio decoder would
+    register into. Windows are ``window`` samples, tail remainder
+    dropped (deterministic); RMS is quantized to milli-units
+    (floor(rms*1000)) so the output is integer-stable. The whole batch
+    is one (windows x samples) gather off the flat Arrow buffer — no
+    per-clip Python."""
+
+    def __init__(self, window: int = 1024):
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _require_fmt(batch, "pcm16", "audio decoder")
+        flat, starts, ends, _ = binary_column_view(batch["bytes"])
+        w = self.window
+        n_samples = (ends - starts) // 2
+        nw = (n_samples // w).astype(np.int64)
+        clip_row = np.repeat(np.arange(len(nw)), nw)
+        m = clip_row.size
+        if m:
+            off = np.concatenate([[0], np.cumsum(nw)[:-1]])
+            j = (np.arange(m) - off[clip_row]).astype(np.int64)
+            src0 = starts[clip_row] + j * (w * 2)
+            idx = src0[:, None] + np.arange(w * 2, dtype=np.int64)[None, :]
+            # the gather copies to contiguous memory, so the int16 view
+            # is alignment-safe; samples are LE (host-endian on x86/arm)
+            samples = (
+                flat[idx.reshape(-1)].reshape(m, w * 2)
+                .view(np.int16).astype(np.int64)
+            )
+            ssq = np.sum(samples * samples, axis=1)  # exact in int64
+            rms_mq = np.floor(np.sqrt(ssq / w) * 1000.0).astype(np.int64)
+            peak = np.max(np.abs(samples), axis=1)
+        else:
+            j = np.zeros(0, np.int64)
+            rms_mq = np.zeros(0, np.int64)
+            peak = np.zeros(0, np.int64)
+        cr = pa.array(clip_row, pa.int64())
+        return pa.table(
+            {
+                "audio_id": pc.take(batch["audio_id"], cr),
+                "win_idx": pa.array(j.astype(np.int32)),
+                "rms_mq": pa.array(rms_mq),
+                "peak": pa.array(peak),
             }
         )
 
