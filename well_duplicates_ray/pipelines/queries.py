@@ -2864,12 +2864,15 @@ def editdist_verify_pairs(sf_dir: str) -> ray.data.Dataset:
                  pair_ids["b"].combine_chunks()]
             ).combine_chunks()
         )
-        matched = texts.map_batches(
-            lambda t: t.filter(
-                pc.fill_null(pc.is_in(t["node"], value_set=idset), False)
-            ),
-            batch_format="pyarrow",
-        )
+        idref = ray.put(idset)  # ship the pair-id set once, not per task
+
+        def keep_pair_docs(t: pa.Table) -> pa.Table:
+            ids = ray.get(idref)
+            return t.filter(
+                pc.fill_null(pc.is_in(t["node"], value_set=ids), False)
+            )
+
+        matched = texts.map_batches(keep_pair_docs, batch_format="pyarrow")
         # O(pairs) rows by construction — gather once, ship once (empty
         # pass-through blocks of an over-partitioned read keep the SOURCE
         # schema, so drop them before concat)
