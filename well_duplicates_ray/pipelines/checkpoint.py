@@ -302,7 +302,7 @@ def run_checkpointed(
         feats = ray.data.read_parquet(sig_files).materialize()
         bundle = (
             launch_prepare_broadcast(feats, cfg)
-            if feat_rows_total <= cfg.broadcast_threshold
+            if 0 < feat_rows_total <= cfg.broadcast_threshold
             else None
         )
 

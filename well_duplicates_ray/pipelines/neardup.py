@@ -324,8 +324,12 @@ def clusters_from_edges(
 
         from well_duplicates_ray.stages.components import components_numpy
 
-        etabs = [_ray.get(r) for r in edges.to_arrow_refs()]
-        ntabs = [_ray.get(r) for r in nodes.to_arrow_refs()]
+        # drop empty pass-through blocks (they keep the upstream schema
+        # — same guard as _components_driver_dsu)
+        etabs = [t for t in (_ray.get(r) for r in edges.to_arrow_refs())
+                 if t.num_rows > 0]
+        ntabs = [t for t in (_ray.get(r) for r in nodes.to_arrow_refs())
+                 if t.num_rows > 0]
         node_arr, comp_arr = components_numpy(
             etabs, [t["node"].to_numpy() for t in ntabs]
         )

@@ -216,8 +216,13 @@ def top_tokens_corpus(sf_dir: str) -> ray.data.Dataset:
     sort takes the top K."""
 
     def partial(t: pa.Table) -> pa.Table:
+        # split_pattern_regex(r"\s+"), NOT utf8_split_whitespace: both
+        # sides must split on the same class — Arrow's RE2 \s matches
+        # DuckDB's string_split_regex('\s+') exactly, while Unicode
+        # White_Space would diverge on NBSP/\x0b (the token_count parity
+        # rule)
         flat = pc.list_flatten(
-            pc.utf8_split_whitespace(pc.fill_null(t["text"], ""))
+            pc.split_pattern_regex(pc.fill_null(t["text"], ""), r"\s+")
         )
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = pc.value_counts(flat)

@@ -215,11 +215,11 @@ class AudioFrameEnergy:
             off = np.concatenate([[0], np.cumsum(nw)[:-1]])
             j = (np.arange(m) - off[clip_row]).astype(np.int64)
             src0 = starts[clip_row] + j * (w * 2)
-            idx = src0[:, None] + np.arange(w * 2, dtype=np.int64)[None, :]
-            # the gather copies to contiguous memory, so the int16 view
-            # is alignment-safe; samples are LE (host-endian on x86/arm)
+            # gather_rows returns a zero-copy reshape when windows are
+            # stored consecutively (a once-built fixture column always
+            # is); samples are LE (host-endian on x86/arm)
             samples = (
-                flat[idx.reshape(-1)].reshape(m, w * 2)
+                gather_rows(flat, src0, w * 2)
                 .view(np.int16).astype(np.int64)
             )
             ssq = np.sum(samples * samples, axis=1)  # exact in int64

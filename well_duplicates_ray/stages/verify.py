@@ -752,7 +752,3 @@ def _verify_block(
     return tbl.filter(tbl["is_dup"]) if edges_only else tbl
 
 
-def _collect(ds: ray.data.Dataset) -> pa.Table:
-    return pa.concat_tables(
-        [ray.get(ref) for ref in ds.to_arrow_refs()]
-    )
