@@ -1,0 +1,114 @@
+"""Round-5 late additions: the Q5-shape six-table snowflake join
+(``local_supplier_volume``, both size-gate paths), grouped MODE with
+deterministic tie-break (``top_lang_per_source``), and the overlapping
+interval RANGE join (``acctbal_band_counts``)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents",
+)
+
+
+def _sorted_df(res) -> pd.DataFrame:
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _oracle_df(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return _sorted_df(con.sql(sql).df())
+
+
+def test_local_supplier_volume_oracle_and_paths(ray_session, monkeypatch):
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["local_supplier_volume"])
+    assert len(want) > 0  # the window/region filter must not be vacuous
+    got = _sorted_df(q.local_supplier_volume(SF_DIR))
+    pd.testing.assert_frame_equal(got, want)
+
+    # force the above-gate shuffle-join branch; must be bit-identical
+    monkeypatch.setattr(q, "LOCAL_VOLUME_JOIN_GATE", 0)
+    shuffled = _sorted_df(q.local_supplier_volume(SF_DIR))
+    pd.testing.assert_frame_equal(shuffled, want)
+
+
+def test_top_lang_per_source_oracle(ray_session):
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["top_lang_per_source"])
+    got = _sorted_df(q.top_lang_per_source(SF_DIR))
+    pd.testing.assert_frame_equal(got, want)
+    # one row per source, and ties (if any) resolved to the smallest lang
+    assert got["source"].is_unique
+
+
+def test_top_lang_tiebreak_is_lexicographic(ray_session):
+    """Synthesized tied counts: mode must pick the lexicographically
+    smallest lang, matching the oracle's ORDER BY cnt DESC, lang."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    tmp = "/tmp/wdr_test_mode_tie"
+    import os
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    t = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "text": ["x"] * 6,
+            "lang": ["zz", "aa", "zz", "aa", "mm", "aa"],
+            "source": ["s1", "s1", "s1", "s1", "s1", "s2"],
+            "n_chars": [1] * 6,
+        }
+    )
+    pq.write_table(t, f"{tmp}/documents.parquet")
+    got = _sorted_df(q.top_lang_per_source(tmp))
+    assert got.loc[got["source"] == "s1", "top_lang"].item() == "aa"
+    assert got.loc[got["source"] == "s1", "cnt"].item() == 2
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_acctbal_band_counts_oracle(ray_session):
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["acctbal_band_counts"])
+    got = _sorted_df(q.acctbal_band_counts(SF_DIR))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_acctbal_bands_actually_overlap(ray_session):
+    """The bands are a RANGE join, not a partition: total matched rows
+    must exceed the number of distinct customers that match any band
+    (some customers land in two bands)."""
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    got = _sorted_df(q.acctbal_band_counts(SF_DIR))
+    bal = pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_acctbal"]
+    )["c_acctbal"].to_numpy()
+    import numpy as np
+
+    matched = np.zeros(len(bal), dtype=bool)
+    for _, lo, hi in q.ACCTBAL_BANDS:
+        matched |= (bal >= lo) & (bal < hi)
+    assert got["n_customers"].sum() > matched.sum()

@@ -2086,6 +2086,270 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
     return fine.union(mid).union(top)
 
 
+LOCAL_VOLUME_REGION = "ASIA"
+LOCAL_VOLUME_LO = "1996-01-01"
+LOCAL_VOLUME_HI = "1998-01-01"
+# Below this many orders rows the qualifying (orderkey -> cust-nation)
+# side broadcasts (the G14 small-side gate); above it, hash shuffle join.
+LOCAL_VOLUME_JOIN_GATE = 2_000_000
+
+
+def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
+    """Six-table snowflake join (TPC-H Q5 shape): revenue per nation for
+    orders in a date window whose CUSTOMER and lineitem SUPPLIER sit in
+    the same nation of one region — the join predicate spans two
+    different dimension paths into the same fact row.
+
+    Scale shape: region ⋈ nation collapse on the driver to a nationkey
+    set + name lookup; customer and supplier collapse to key -> nationkey
+    int64 maps (dimension-sized, ray.put once, probed vectorized in every
+    task — at a scale where customer outgrows broadcast, the orders scan
+    swaps to the repo's hash shuffle join on custkey, same kernel after).
+    The orders side is filtered at the read (date window + region) and
+    carries ONE int32-sized nation column; lineitem never shuffles — the
+    below-gate path attaches order nation via index_in/take and only the
+    per-(nation) partial sums move. Above the gate lineitem pre-aggregates
+    per (orderkey, supp-nation) before the orderkey shuffle join, so the
+    exchange moves one row per order x supplier-nation, not per lineitem."""
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).combine_chunks()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).combine_chunks()
+    rkey = reg.filter(pc.equal(reg["r_name"], LOCAL_VOLUME_REGION))[
+        "r_regionkey"
+    ].combine_chunks()
+    nat_in = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkey))
+    region_nations = nat_in["n_nationkey"].combine_chunks()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).combine_chunks()
+    cust = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=region_nations)
+    )
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).combine_chunks()
+    cref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_nationkey"].combine_chunks())
+    )
+    sref = ray.put(
+        (sup["s_suppkey"].combine_chunks(), sup["s_nationkey"].combine_chunks())
+    )
+    lo = pa.scalar(pd.Timestamp(LOCAL_VOLUME_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(LOCAL_VOLUME_HI), pa.timestamp("us"))
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cref)
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi),
+        )
+        t = t.filter(keep)
+        pos = pc.index_in(t["o_custkey"], value_set=ck)
+        out = pa.table(
+            {"l_orderkey": t["o_orderkey"], "c_nat": cn.take(pos)}
+        )
+        return out.filter(pc.is_valid(out["c_nat"]))
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(filt_orders, batch_format="pyarrow")
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sref)
+        pos = pc.index_in(t["l_suppkey"], value_set=sk)
+        gross = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        out = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": sn.take(pos),
+                "rev_cents": _cents(gross),
+            }
+        )
+        return out.filter(pc.is_valid(out["s_nat"]))
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"]
+    ).map_batches(li_rev, batch_format="pyarrow")
+
+    name_ref = ray.put(
+        (nat_in["n_nationkey"].combine_chunks(),
+         nat_in["n_name"].combine_chunks())
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        nk, nm = ray.get(name_ref)
+        pos = pc.index_in(t["c_nat"], value_set=nk)
+        return pa.table(
+            {"n_name": nm.take(pos), "revenue_cents": t["revenue_cents"]}
+        )
+
+    if _table_rows(sf_dir, "orders") <= LOCAL_VOLUME_JOIN_GATE:
+        ot = pa.concat_tables(
+            [t for t in
+             (ray.get(r) for r in orders.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        oref = ray.put(ot)
+
+        def attach(t: pa.Table) -> pa.Table:
+            o = ray.get(oref)
+            pos = pc.index_in(
+                t["l_orderkey"], value_set=o["l_orderkey"].combine_chunks()
+            )
+            cnat = o["c_nat"].take(pos)
+            out = pa.table(
+                {"c_nat": cnat, "s_nat": t["s_nat"],
+                 "rev_cents": t["rev_cents"]}
+            )
+            out = out.filter(
+                pc.and_(
+                    pc.is_valid(out["c_nat"]),
+                    pc.equal(out["c_nat"], out["s_nat"]),
+                )
+            )
+            return pa.table(
+                {"c_nat": out["c_nat"], "rev_cents": out["rev_cents"]}
+            )
+
+        return (
+            li.map_batches(attach, batch_format="pyarrow")
+            .groupby("c_nat")
+            .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+            .map_batches(attach_name, batch_format="pyarrow")
+        )
+
+    li_agg = (
+        li.groupby(["l_orderkey", "s_nat"])
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+    joined = li_agg.join(
+        orders, "inner",
+        _window_nparts(_table_rows(sf_dir, "orders")),
+        on=("l_orderkey",),
+    )
+
+    def keep_local(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_nat"], t["s_nat"]))
+        return pa.table({"c_nat": t["c_nat"], "rev_cents": t["rev_cents"]})
+
+    return (
+        joined.map_batches(keep_local, batch_format="pyarrow")
+        .groupby("c_nat")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+        .map_batches(attach_name, batch_format="pyarrow")
+    )
+
+
+def top_lang_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Grouped MODE (most frequent value per group, deterministic
+    lexicographic tie-break) — the argmax-over-counts shape.
+
+    Scale shape: counts pre-combine INSIDE map_batches (Arrow group_by
+    per batch — a per-task partial combiner), so the groupby shuffle
+    moves at most |sources| x |langs| rows per task, never raw documents;
+    the argmax runs as tiny per-source map_groups over the combined
+    counts. Safe at any corpus scale because (source, lang) cardinality
+    is bounded."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["source", "lang"]).group_by(
+            ["source", "lang"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"source": g["source"], "lang": g["lang"],
+             "cnt": g["count_all"].cast(pa.int64())}
+        )
+
+    counts = (
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy()
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        order = np.lexsort((langs, -cnt))
+        i = order[0]
+        return pa.table(
+            {
+                "source": t["source"].take(pa.array([i])),
+                "top_lang": t["lang"].take(pa.array([i])),
+                "cnt": t["cnt"].take(pa.array([i])),
+            }
+        )
+
+    return counts.groupby("source").map_groups(pick, batch_format="pyarrow")
+
+
+# Overlapping, non-uniform [lo, hi) bands: a customer can fall in 0-2 of
+# them, so this is a genuine RANGE JOIN (row multiplication), not a
+# computed-bucket-key groupby. Literal constants mirrored in the oracle.
+ACCTBAL_BANDS = (
+    ("deep_neg", -10_000.0, 0.0),
+    ("low", -500.0, 2_500.0),
+    ("mid", 2_000.0, 6_000.0),
+    ("high", 5_000.0, 10_000.0),
+    ("top", 8_000.0, 10_000.0),
+)
+
+
+def acctbal_band_counts(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast RANGE join (interval containment) + grouped aggregate:
+    customers joined to a small table of overlapping account-balance
+    bands on lo <= c_acctbal < hi, counted and summed per band.
+
+    Scale shape: the band side is tiny and lives in the task closure (at
+    a larger interval-table scale it would ray.put an interval tree /
+    sorted-endpoint arrays and probe with searchsorted); the fact scan
+    evaluates every band as ONE vectorized mask per batch and emits only
+    per-band partial (count, sum) rows — the exchange is |bands| rows per
+    task regardless of fact size. Zero-count partials are dropped so
+    unmatched bands are absent, matching inner-join semantics."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"]
+        cents = _cents(bal)
+        names, counts, sums = [], [], []
+        for band, lo, hi in ACCTBAL_BANDS:
+            mask = pc.and_(
+                pc.greater_equal(bal, pa.scalar(lo)),
+                pc.less(bal, pa.scalar(hi)),
+            )
+            mask = pc.fill_null(mask, False)
+            n = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if n == 0:
+                continue
+            names.append(band)
+            counts.append(n)
+            sums.append(pc.sum(cents.filter(mask)).as_py())
+        return pa.table(
+            {
+                "band": pa.array(names, pa.string()),
+                "n_customers": pa.array(counts, pa.int64()),
+                "sum_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -2767,6 +3031,51 @@ SQL_ORACLES["supplier_names_by_nation"] = """
 SQL_ORACLES["orders_rollup"] = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+SQL_ORACLES["local_supplier_volume"] = f"""
+    SELECT n.n_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{LOCAL_VOLUME_REGION}'
+      AND s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '{LOCAL_VOLUME_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{LOCAL_VOLUME_HI} 00:00:00'
+    GROUP BY n.n_name
+"""
+
+SQL_ORACLES["top_lang_per_source"] = """
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS cnt
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang AS top_lang, cnt FROM (
+        SELECT source, lang, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, lang) AS rn
+        FROM c
+    ) WHERE rn = 1
+"""
+
+_BANDS_VALUES = ", ".join(
+    f"('{b}', {lo}, {hi})" for b, lo, hi in ACCTBAL_BANDS
+)
+SQL_ORACLES["acctbal_band_counts"] = f"""
+    SELECT b.band,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM customer c
+    JOIN (VALUES {_BANDS_VALUES}) AS b(band, lo, hi)
+      ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+    GROUP BY b.band
 """
 
 
@@ -3460,4 +3769,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "hll_registers_users_per_type": hll_registers_users_per_type,
     "props_value_sum_by_type": props_value_sum_by_type,
     "sample_users_bottomk": sample_users_bottomk,
+    "local_supplier_volume": local_supplier_volume,
+    "top_lang_per_source": top_lang_per_source,
+    "acctbal_band_counts": acctbal_band_counts,
 }
