@@ -86,6 +86,23 @@ def test_top_lang_tiebreak_is_lexicographic(ray_session):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_neardup_simhash_pairs_oracle(ray_session):
+    """Banded pipeline == brute-force all-pairs cross join: pigeonhole
+    makes the LSH exact (radius < band count), so every pair and every
+    hamming distance must match bit-for-bit."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    assert q.SIMHASH_PAIR_BANDS > q.SIMHASH_PAIR_RADIUS  # exactness bound
+    assert 64 % q.SIMHASH_PAIR_BANDS == 0
+    want = _oracle_df(q.SQL_ORACLES["neardup_documents_simhash"])
+    assert len(want) > 0
+    got = _sorted_df(q.neardup_documents_simhash(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict())
+    )
+    assert (got["hamming"] <= q.SIMHASH_PAIR_RADIUS).all()
+
+
 def test_acctbal_band_counts_oracle(ray_session):
     from well_duplicates_ray.pipelines import queries as q
 

@@ -2861,7 +2861,18 @@ def _mulmod64(z: str, c: int) -> str:
     )
 
 
-def _sketch_oracles() -> tuple[str, str]:
+#
+# SimHash near-dup pairs: banded-LSH candidate generation whose recall
+# is EXACT by pigeonhole (two 64-bit codes at Hamming distance <= T agree
+# on >= 1 of the T+1 <= SIMHASH_PAIR_BANDS disjoint bit-slices), so the
+# approximate-looking pipeline is SQL-oracle-able bit-for-bit against a
+# brute-force all-pairs restatement (built in _sketch_oracles below).
+SIMHASH_PAIR_RADIUS = 3     # Hamming threshold T
+SIMHASH_PAIR_BANDS = 4      # > T and divides 64 => exact recall
+_SIMHASH_PAIR_SALT = 7700
+
+
+def _sketch_oracles() -> tuple[str, str, str]:
     from well_duplicates_ray.functions.text import _B
 
     b, k, perms = int(_B), CFG.shingle_k, CFG.minhash_perms
@@ -2925,12 +2936,26 @@ def _sketch_oracles() -> tuple[str, str]:
     SELECT s.doc_id, s.slot, {to_i64.format(v='v.v')} AS minhash
     FROM slots s LEFT JOIN val v USING (doc_id, slot)
     """
-    return simhash_sql, minhash_sql
+    # Brute-force all-pairs restatement of neardup_documents_simhash:
+    # the engine's banded pipeline is exact by pigeonhole, so this cross
+    # join over the SAME restated fingerprints is its hard oracle.
+    simhash_pairs_sql = f"""
+    WITH {shingle_cte},
+    v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id),
+    c AS (SELECT doc_id, (({code}) % {_M64})::UBIGINT AS hv FROM v)
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           bit_count(xor(a.hv, b.hv))::BIGINT AS hamming
+    FROM c a JOIN c b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hv, b.hv)) <= {SIMHASH_PAIR_RADIUS}
+    """
+    return simhash_sql, minhash_sql, simhash_pairs_sql
 
 
-SQL_ORACLES["simhash_documents"], SQL_ORACLES["minhash_documents"] = (
-    _sketch_oracles()
-)
+(
+    SQL_ORACLES["simhash_documents"],
+    SQL_ORACLES["minhash_documents"],
+    SQL_ORACLES["neardup_documents_simhash"],
+) = _sketch_oracles()
 
 # HyperLogLog registers restated in SQL: the same splitmix64 finalizer
 # chain as phash.mix64 (salt-add, xor-shift 30, mul, xor-shift 27, mul,
@@ -3249,6 +3274,105 @@ def simhash_documents(sf_dir: str) -> ray.data.Dataset:
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         sim, batch_format="pyarrow"
+    )
+
+
+def neardup_documents_simhash(sf_dir: str) -> ray.data.Dataset:
+    """SimHash near-duplicate PAIRS over documents: all (doc1 < doc2)
+    with Hamming(simhash) <= SIMHASH_PAIR_RADIUS, found via prefix-band
+    LSH — never an all-pairs scan — yet EXACT (pigeonhole: radius <
+    band count), so the DuckDB oracle is a brute-force cross join over
+    the same restated fingerprints.
+
+    Scale shape: the corpus makes one distributed simhash pass; each doc
+    emits SIMHASH_PAIR_BANDS (bucket, doc, simhash) rows (the bucket key
+    mixes the band index so slices never collide across positions); only
+    band-equal groups meet in the bucket groupby; per-bucket candidate
+    pairs confirm with vectorized SWAR popcount BEFORE the exchange, and
+    the final (doc1, doc2) groupby dedupes multi-band rediscoveries. At
+    corpus scale hot buckets compose with the count-first salting /
+    capped-bucket machinery of stages/candidates.py (SURVEY.md §2 G10);
+    here bucket equality is a 64/SIMHASH_PAIR_BANDS-bit slice match, so
+    bucket sizes stay near-uniform unless fingerprints themselves skew."""
+    from well_duplicates_ray.functions.phash import (
+        hamming64,
+        mix64,
+        prefix_bands,
+    )
+    from well_duplicates_ray.functions.text import (
+        shingle_hashes,
+        simhash_from_shingles,
+    )
+
+    k = CFG.shingle_k
+    nb = SIMHASH_PAIR_BANDS
+    width = np.uint64(64 // nb)
+
+    def sim(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.utf8_length(pc.fill_null(t["text"], "")), k
+        )
+        t = t.filter(keep)
+        vals, offs = shingle_hashes(t["text"], k)
+        sh = simhash_from_shingles(vals, offs)
+        return pa.table(
+            {
+                "doc": pc.cast(t["doc_id"], pa.int64()),
+                "simhash": pa.array(sh.view(np.int64)),
+            }
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy().view(np.uint64)
+        bands = prefix_bands(sh, nb)  # (n, nb)
+        tagged = bands | (
+            np.arange(nb, dtype=np.uint64)[None, :] << width
+        )
+        keys = mix64(tagged, _SIMHASH_PAIR_SALT).reshape(-1)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.view(np.int64)),
+                "doc": pa.array(np.repeat(t["doc"].to_numpy(), nb)),
+                "sh": pa.array(np.repeat(sh, nb).view(np.int64)),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        d = t["doc"].to_numpy()
+        n = len(d)
+        empty = pa.table(
+            {
+                "doc1": pa.array([], pa.int64()),
+                "doc2": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        s = t["sh"].to_numpy().view(np.uint64)
+        o = np.argsort(d, kind="stable")
+        d, s = d[o], s[o]
+        iu, ju = np.triu_indices(n, k=1)
+        hd = hamming64(s[iu], s[ju]).astype(np.int64)
+        keepm = hd <= SIMHASH_PAIR_RADIUS
+        if not keepm.any():
+            return empty
+        return pa.table(
+            {
+                "doc1": pa.array(d[iu[keepm]]),
+                "doc2": pa.array(d[ju[keepm]]),
+                "hamming": pa.array(hd[keepm]),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=16)
+        .map_batches(sim, batch_format="pyarrow")
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc1", "doc2"])
+        .aggregate(Min("hamming", alias_name="hamming"))
     )
 
 
@@ -3770,6 +3894,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "props_value_sum_by_type": props_value_sum_by_type,
     "sample_users_bottomk": sample_users_bottomk,
     "local_supplier_volume": local_supplier_volume,
+    "neardup_documents_simhash": neardup_documents_simhash,
     "top_lang_per_source": top_lang_per_source,
     "acctbal_band_counts": acctbal_band_counts,
 }
