@@ -111,6 +111,28 @@ def test_acctbal_band_counts_oracle(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_global_price_rank_oracle(ray_session):
+    """Distributed sample-sort rank == ROW_NUMBER/NTILE over the total
+    order — exact, not approximate: boundaries only partition; ranks come
+    from counted offsets plus local sorts."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["global_price_rank"])
+    got = _sorted_df(q.global_price_rank(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_global_price_rank_partition_invariant(ray_session, monkeypatch):
+    """Many more (and therefore skinnier) range partitions must not
+    change a single rank — proves offsets/boundaries compose exactly."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(q.global_price_rank(SF_DIR))
+    monkeypatch.setattr(q, "WINDOW_PARTITION_TARGET_ROWS", 64)
+    many = _sorted_df(q.global_price_rank(SF_DIR))
+    pd.testing.assert_frame_equal(base, many)
+
+
 def test_acctbal_bands_actually_overlap(ray_session):
     """The bands are a RANGE join, not a partition: total matched rows
     must exceed the number of distinct customers that match any band
