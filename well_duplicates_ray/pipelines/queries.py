@@ -2350,6 +2350,124 @@ def acctbal_band_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+RANK_SAMPLE_PER_BLOCK = 32
+
+
+def global_price_rank(sf_dir: str) -> ray.data.Dataset:
+    """Distributed TOTAL-ORDER enumeration (ROW_NUMBER + NTILE over the
+    whole table): every order's global rank by (o_totalprice, o_orderkey)
+    and its NTILE(4) quartile — exact, not approximate.
+
+    Scale shape — the classic three-pass sample-sort rank, nothing
+    fact-sized ever on the driver:
+      1. a deterministic stride sample (RANK_SAMPLE_PER_BLOCK values per
+         block, O(blocks) total) yields range boundaries;
+      2. every row maps to a range partition via one vectorized
+         searchsorted; per-partition COUNTS (nparts rows) come from a
+         per-batch partial-count groupby and prefix-sum into global
+         offsets on the driver;
+      3. each partition sorts its slice locally (np.lexsort) and adds
+         its offset. Ranks are exact because the searchsorted boundaries
+         are monotone — partition order IS global order — and ties
+         (equal prices) always land in ONE partition, so the orderkey
+         tie-break is local. Partition count is data-sized
+         (_window_nparts); a skew-degenerate sample (few distinct
+         prices) only merges partitions, never corrupts ranks."""
+    n = _table_rows(sf_dir, "orders")
+    nparts = _window_nparts(n)
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy()
+        stride = max(1, len(v) // RANK_SAMPLE_PER_BLOCK)
+        return pa.table({"v": pa.array(v[::stride])})
+
+    sampled = [
+        t for t in (
+            ray.get(r) for r in
+            _read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(sample, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows
+    ]
+    samp = (
+        np.sort(pa.concat_tables(sampled)["v"].to_numpy())
+        if sampled else np.array([], dtype=np.float64)
+    )
+    cuts = (
+        samp[np.linspace(0, len(samp) - 1, nparts + 1)
+             .astype(np.int64)[1:-1]]
+        if len(samp) else np.array([], dtype=np.float64)
+    )
+    bref = ray.put(np.ascontiguousarray(cuts))
+
+    def pid_of(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        pid = np.searchsorted(b, t["o_totalprice"].to_numpy(), side="right")
+        return pa.table(
+            {
+                "pid": pa.array(pid.astype(np.int64)),
+                "o_orderkey": t["o_orderkey"],
+                "price": t["o_totalprice"],
+            }
+        )
+
+    withpid = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+    ).map_batches(pid_of, batch_format="pyarrow")
+
+    def pcount(t: pa.Table) -> pa.Table:
+        g = t.select(["pid"]).group_by("pid").aggregate([([], "count_all")])
+        return pa.table(
+            {"pid": g["pid"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    counts = (
+        withpid.map_batches(pcount, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ct_parts = [
+        t for t in (ray.get(r) for r in counts.to_arrow_refs())
+        if t.num_rows
+    ]
+    sizes = np.zeros(nparts + 1, dtype=np.int64)
+    if ct_parts:
+        ct = pa.concat_tables(ct_parts)
+        sizes[ct["pid"].to_numpy()] = ct["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    oref = ray.put(np.ascontiguousarray(offsets))
+
+    size4, rem = n // 4, n % 4
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        offs = ray.get(oref)
+        pid = int(t["pid"][0].as_py())
+        key = t["o_orderkey"].to_numpy()
+        price = t["price"].to_numpy()
+        order = np.lexsort((key, price))
+        rnk = offs[pid] + np.arange(1, len(key) + 1, dtype=np.int64)
+        r0 = rnk - 1
+        if size4 == 0:  # n < 4: NTILE degenerates to one row per bucket
+            quart = r0 + 1
+        else:
+            thresh = rem * (size4 + 1)
+            quart = np.where(
+                r0 < thresh,
+                r0 // (size4 + 1) + 1,
+                rem + (r0 - thresh) // size4 + 1,
+            )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key[order]),
+                "rnk": pa.array(rnk),
+                "quartile": pa.array(quart.astype(np.int64)),
+            }
+        )
+
+    return withpid.groupby("pid").map_groups(
+        rank_part, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3087,6 +3205,13 @@ SQL_ORACLES["top_lang_per_source"] = """
                                   ORDER BY cnt DESC, lang) AS rn
         FROM c
     ) WHERE rn = 1
+"""
+
+SQL_ORACLES["global_price_rank"] = """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
 """
 
 _BANDS_VALUES = ", ".join(
@@ -3897,4 +4022,5 @@ SQL_QUERIES: dict[str, Callable] = {
     "neardup_documents_simhash": neardup_documents_simhash,
     "top_lang_per_source": top_lang_per_source,
     "acctbal_band_counts": acctbal_band_counts,
+    "global_price_rank": global_price_rank,
 }
