@@ -133,6 +133,16 @@ def test_global_price_rank_partition_invariant(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(base, many)
 
 
+def test_top_tokens_per_lang_oracle(ray_session):
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["top_tokens_per_lang"])
+    got = _sorted_df(q.top_tokens_per_lang(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # at most K rows per lang, counts non-increasing within each lang
+    assert got.groupby("lang").size().max() <= q.TOP_TOKENS_PER_LANG_K
+
+
 def test_acctbal_bands_actually_overlap(ray_session):
     """The bands are a RANGE join, not a partition: total matched rows
     must exceed the number of distinct customers that match any band

@@ -2468,6 +2468,63 @@ def global_price_rank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+TOP_TOKENS_PER_LANG_K = 5
+
+
+def top_tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Grouped top-k over exploded tokens (top-N-per-group on an
+    exploded fact): the K most frequent tokens per language, ties to the
+    lexicographically smallest token.
+
+    Scale shape: tokens explode inside each task and immediately
+    collapse through a per-batch Arrow group_by((lang, token)) partial
+    combiner, so the shuffle moves |langs| x |vocab| partial rows per
+    task, never token occurrences; the global groupby sums partials and
+    the per-lang top-k is a tiny map_groups lexsort (group size = one
+    language's vocabulary, bounded)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy()
+        langs = pa.array(
+            np.repeat(np.asarray(t["lang"].to_pylist(), dtype=object), lens)
+        )
+        flat = pc.list_flatten(toks)
+        tbl = pa.table({"lang": langs, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = tbl.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "token": g["token"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def topk(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        toks = np.asarray(t["token"].to_pylist(), dtype=object)
+        order = np.lexsort((toks, -n))[:TOP_TOKENS_PER_LANG_K]
+        idx = pa.array(order)
+        return pa.table(
+            {
+                "lang": t["lang"].take(idx),
+                "token": t["token"].take(idx),
+                "n": t["n"].take(idx),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -3205,6 +3262,23 @@ SQL_ORACLES["top_lang_per_source"] = """
                                   ORDER BY cnt DESC, lang) AS rn
         FROM c
     ) WHERE rn = 1
+"""
+
+SQL_ORACLES["top_tokens_per_lang"] = rf"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(COALESCE(text, ''), '\s+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE token <> '' GROUP BY lang, token
+    )
+    SELECT lang, token, n FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token) AS rn
+      FROM c
+    ) WHERE rn <= {TOP_TOKENS_PER_LANG_K}
 """
 
 SQL_ORACLES["global_price_rank"] = """
@@ -4023,4 +4097,5 @@ SQL_QUERIES: dict[str, Callable] = {
     "top_lang_per_source": top_lang_per_source,
     "acctbal_band_counts": acctbal_band_counts,
     "global_price_rank": global_price_rank,
+    "top_tokens_per_lang": top_tokens_per_lang,
 }
