@@ -133,6 +133,63 @@ def test_global_price_rank_partition_invariant(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(base, many)
 
 
+def _rank_tmp_dir(prices, keys):
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = "/tmp/wdr_test_rank"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([1] * len(keys), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(keys)),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("1995-01-01")] * len(keys)
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(keys)),
+            }
+        ),
+        f"{tmp}/orders.parquet",
+    )
+    return tmp
+
+
+@pytest.mark.parametrize(
+    "prices,keys",
+    [
+        ([500.0] * 20, list(range(20, 0, -1))),  # constant: 1 partition
+        ([3.0, 1.0, 2.0], [30, 10, 20]),         # n < 4: NTILE degenerate
+    ],
+)
+def test_global_price_rank_degenerate(ray_session, prices, keys):
+    """Skew-degenerate sample (all prices equal => every row in one
+    range partition) and n < 4 (size4 == 0 NTILE branch) must both stay
+    oracle-exact."""
+    import duckdb
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    tmp = _rank_tmp_dir(prices, keys)
+    got = _sorted_df(q.global_price_rank(tmp))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp}/orders.parquet')"
+    )
+    want = _sorted_df(con.sql(q.SQL_ORACLES["global_price_rank"]).df())
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_top_tokens_per_lang_oracle(ray_session):
     from well_duplicates_ray.pipelines import queries as q
 
