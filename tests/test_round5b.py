@@ -200,6 +200,19 @@ def test_top_tokens_per_lang_oracle(ray_session):
     assert got.groupby("lang").size().max() <= q.TOP_TOKENS_PER_LANG_K
 
 
+def test_region_priority_matrix_oracle(ray_session):
+    """Dense cross-join output: every (region, priority) cell present,
+    zeros preserved, bit-equal to the SQL CROSS JOIN + LEFT JOIN."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["region_priority_matrix"])
+    got = _sorted_df(q.region_priority_matrix(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # density: |regions| x |priorities| rows exactly
+    assert len(got) == got["r_name"].nunique() * \
+        got["o_orderpriority"].nunique()
+
+
 def test_acctbal_bands_actually_overlap(ray_session):
     """The bands are a RANGE join, not a partition: total matched rows
     must exceed the number of distinct customers that match any band

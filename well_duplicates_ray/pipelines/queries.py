@@ -2468,6 +2468,104 @@ def global_price_rank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def region_priority_matrix(sf_dir: str) -> ray.data.Dataset:
+    """CROSS JOIN + zero-preserving LEFT JOIN (dense matrix output):
+    one row for EVERY (region, order priority) combination — including
+    regions whose customers placed no orders at that priority — with the
+    order count, 0 preserved.
+
+    Scale shape: the region/nation/customer dimension chain collapses to
+    one custkey -> region-name broadcast map (the customers_per_region
+    pattern); the orders fact scan emits per-batch (region, priority)
+    partial counts, so the exchange is |regions| x |priorities| rows per
+    task; the dense cross product is materialized on the driver from the
+    TINY aggregate (<= 25 rows here) — never from fact data."""
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).combine_chunks()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).combine_chunks()
+    pos = pc.index_in(
+        nat["n_regionkey"], value_set=reg["r_regionkey"].combine_chunks()
+    )
+    nat_region = pa.table(
+        {"n_nationkey": nat["n_nationkey"], "r_name": reg["r_name"].take(pos)}
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).combine_chunks()
+    cpos = pc.index_in(
+        cust["c_nationkey"],
+        value_set=nat_region["n_nationkey"].combine_chunks(),
+    )
+    cref = ray.put(
+        (cust["c_custkey"].combine_chunks(),
+         nat_region["r_name"].take(cpos).combine_chunks())
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck, rn = ray.get(cref)
+        p = pc.index_in(t["o_custkey"], value_set=ck)
+        tbl = pa.table(
+            {"r_name": rn.take(p), "o_orderpriority": t["o_orderpriority"]}
+        )
+        tbl = tbl.filter(pc.is_valid(tbl["r_name"]))
+        g = tbl.group_by(["r_name", "o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "r_name": g["r_name"],
+                "o_orderpriority": g["o_orderpriority"],
+                "n_orders": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    parts = [
+        t for t in (ray.get(r) for r in counts.to_arrow_refs())
+        if t.num_rows
+    ]
+    ct = (
+        pa.concat_tables(parts).combine_chunks()
+        if parts
+        else pa.table(
+            {
+                "r_name": pa.array([], pa.string()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    )
+    regions = sorted(reg["r_name"].to_pylist())
+    prios = sorted(set(ct["o_orderpriority"].to_pylist()))
+    lookup = {
+        (r, p): n
+        for r, p, n in zip(
+            ct["r_name"].to_pylist(),
+            ct["o_orderpriority"].to_pylist(),
+            ct["n_orders"].to_pylist(),
+        )
+    }
+    dense = pa.table(
+        {
+            "r_name": pa.array([r for r in regions for _ in prios]),
+            "o_orderpriority": pa.array(prios * len(regions)),
+            "n_orders": pa.array(
+                [lookup.get((r, p), 0) for r in regions for p in prios],
+                pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(dense)
+
+
 TOP_TOKENS_PER_LANG_K = 5
 
 
@@ -3262,6 +3360,22 @@ SQL_ORACLES["top_lang_per_source"] = """
                                   ORDER BY cnt DESC, lang) AS rn
         FROM c
     ) WHERE rn = 1
+"""
+
+SQL_ORACLES["region_priority_matrix"] = """
+    WITH c AS (
+      SELECT r.r_name, o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n    ON cu.c_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, o.o_orderpriority
+    ), p AS (SELECT DISTINCT o_orderpriority FROM orders)
+    SELECT r.r_name, p.o_orderpriority,
+           COALESCE(c.n, 0) AS n_orders
+    FROM region r CROSS JOIN p
+    LEFT JOIN c ON c.r_name = r.r_name
+               AND c.o_orderpriority = p.o_orderpriority
 """
 
 SQL_ORACLES["top_tokens_per_lang"] = rf"""
@@ -4098,4 +4212,5 @@ SQL_QUERIES: dict[str, Callable] = {
     "acctbal_band_counts": acctbal_band_counts,
     "global_price_rank": global_price_rank,
     "top_tokens_per_lang": top_tokens_per_lang,
+    "region_priority_matrix": region_priority_matrix,
 }
