@@ -231,3 +231,58 @@ def test_acctbal_bands_actually_overlap(ray_session):
     for _, lo, hi in q.ACCTBAL_BANDS:
         matched |= (bal >= lo) & (bal < hi)
     assert got["n_customers"].sum() > matched.sum()
+
+
+def test_event_type_transitions_oracle(ray_session):
+    """Markov transition counts: LAG over a categorical column, per-task
+    pre-aggregation to <= |types|^2 rows, bit-equal to the SQL LAG +
+    GROUP BY restatement."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["event_type_transitions"])
+    got = _sorted_df(q.event_type_transitions(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # each user's stream of n events contributes exactly n-1 transitions
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id"]
+    )["user_id"].to_numpy()
+    import numpy as np
+
+    n_users = np.unique(ev).size
+    assert got["n_transitions"].sum() == len(ev) - n_users
+
+
+def test_event_type_transitions_single_event_users(ray_session, tmp_path):
+    """Users with exactly one event contribute NO transition rows (the
+    segment-first mask), and an empty partition yields a clean empty
+    table rather than a schema-less block crash."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    n = 6
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                np.arange(n) * 1_000_000, pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 2, 3, 4, 4, 4], pa.int64()),
+            "event_type": pa.array(
+                ["a", "b", "c", "a", "b", "a"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, d / "events.parquet")
+    got = _sorted_df(q.event_type_transitions(str(d)))
+    # only user 4 has >1 event: a->b then b->a
+    assert got["n_transitions"].sum() == 2
+    assert set(zip(got["prev_type"], got["next_type"])) == {
+        ("a", "b"), ("b", "a"),
+    }

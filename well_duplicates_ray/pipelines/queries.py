@@ -1982,6 +1982,69 @@ def event_interarrival(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def event_type_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition matrix: global counts of (previous event_type ->
+    event_type) steps inside each user's time-ordered stream — the LAG
+    window applied to a CATEGORICAL column instead of a timestamp
+    (event_interarrival's numeric sibling; SURVEY.md §2 grouped-window
+    family).
+
+    Scale shape: each user-hash partition task dictionary-encodes its
+    slice once, computes shifted codes with segment firsts masked, and
+    pre-aggregates to at most |types|² rows via np.unique on packed pair
+    ids — so the global groupby-sum shuffles O(partitions · types²)
+    tiny rows regardless of input size (the HLL-register trick applied
+    to a window output)."""
+
+    def trans(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = _ts_i64(g["ts"])
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        enc = pc.dictionary_encode(
+            pa.chunked_array([g["event_type"]]).combine_chunks()
+        )
+        types = enc.dictionary
+        codes = (
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        )
+        n = uid.size
+        k = len(types)
+        if n < 2 or k == 0:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n_transitions": pa.array([], pa.int64()),
+                }
+            )
+        prev = np.empty(n, np.int64)
+        prev[0] = 0  # masked below (row 0 is always a segment first)
+        prev[1:] = codes[:-1]
+        notfirst = np.arange(n) != _segment_starts(uid)
+        pair = prev[notfirst] * k + codes[notfirst]
+        u, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": types.take(pa.array(u // k)),
+                "next_type": types.take(pa.array(u % k)),
+                "n_transitions": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    nparts = _window_nparts(_table_rows(sf_dir, "events"))
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(lambda t: _events_pid(t, 7878, nparts),
+                     batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(trans, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n_transitions", alias_name="n_transitions"))
+    )
+
+
 def supplier_names_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
     per nation, the comma-joined sorted supplier names plus the count.
@@ -3318,6 +3381,21 @@ SQL_ORACLES["event_interarrival"] = """
     FROM events
 """
 
+SQL_ORACLES["event_type_transitions"] = """
+    WITH w AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type,
+           event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM w
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+"""
+
 SQL_ORACLES["supplier_names_by_nation"] = """
     SELECT n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
@@ -4195,6 +4273,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "top3_orders_per_cust": top3_orders_per_cust,
     "events_moving_sum3": events_moving_sum3,
     "event_interarrival": event_interarrival,
+    "event_type_transitions": event_type_transitions,
     "supplier_names_by_nation": supplier_names_by_nation,
     "orders_rollup": orders_rollup,
     "ann_topk_cosine": ann_topk_cosine,
