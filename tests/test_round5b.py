@@ -286,3 +286,17 @@ def test_event_type_transitions_single_event_users(ray_session, tmp_path):
     assert set(zip(got["prev_type"], got["next_type"])) == {
         ("a", "b"), ("b", "a"),
     }
+
+
+def test_user_value_drift_oracle(ray_session):
+    """FIRST_VALUE/LAST_VALUE frame: one row per user, endpoints from a
+    single sorted pass, bit-equal to the SQL window restatement."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["user_value_drift"])
+    got = _sorted_df(q.user_value_drift(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # internal consistency: drift is exactly last - first, one row/user
+    assert (got["drift_cents"]
+            == got["last_cents"] - got["first_cents"]).all()
+    assert got["user_id"].is_unique

@@ -1982,6 +1982,55 @@ def event_interarrival(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def user_value_drift(sf_dir: str) -> ray.data.Dataset:
+    """FIRST_VALUE / LAST_VALUE window frame (ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING): each user's first and last event
+    value in (ts, event_id) order, plus the drift between them — both
+    endpoints extracted in ONE sorted pass per partition task (segment
+    firsts and lasts are adjacent flags on the same sorted slice).
+    Cent-quantized like running_value_per_user so the hashed output is
+    integer-exact."""
+
+    def drift(g: pa.Table) -> pa.Table:
+        uid, _ts, _eid, order = _sorted_events(g)
+        n = uid.size
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_cents": pa.array([], pa.int64()),
+                    "last_cents": pa.array([], pa.int64()),
+                    "drift_cents": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.floor(g["value"].to_numpy()[order] * 100).astype(np.int64)
+        starts = _segment_starts(uid)
+        first_idx = np.unique(starts)
+        is_last = np.r_[starts[1:] != starts[:-1], True]
+        last_idx = np.flatnonzero(is_last)
+        fc, lc = cents[first_idx], cents[last_idx]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first_idx]),
+                "first_cents": pa.array(fc),
+                "last_cents": pa.array(lc),
+                "drift_cents": pa.array(lc - fc),
+            }
+        )
+
+    nparts = _window_nparts(_table_rows(sf_dir, "events"))
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(lambda t: _events_pid(t, 7979, nparts),
+                     batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(drift, batch_format="pyarrow")
+        .select_columns(
+            ["user_id", "first_cents", "last_cents", "drift_cents"]
+        )
+    )
+
+
 def event_type_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov transition matrix: global counts of (previous event_type ->
     event_type) steps inside each user's time-ordered stream — the LAG
@@ -3381,6 +3430,21 @@ SQL_ORACLES["event_interarrival"] = """
     FROM events
 """
 
+SQL_ORACLES["user_value_drift"] = """
+    SELECT DISTINCT user_id,
+           CAST(FLOOR(FIRST_VALUE(value) OVER w * 100) AS BIGINT)
+               AS first_cents,
+           CAST(FLOOR(LAST_VALUE(value) OVER w * 100) AS BIGINT)
+               AS last_cents,
+           CAST(FLOOR(LAST_VALUE(value) OVER w * 100) AS BIGINT)
+               - CAST(FLOOR(FIRST_VALUE(value) OVER w * 100) AS BIGINT)
+               AS drift_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+"""
+
 SQL_ORACLES["event_type_transitions"] = """
     WITH w AS (
         SELECT event_type,
@@ -4274,6 +4338,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "events_moving_sum3": events_moving_sum3,
     "event_interarrival": event_interarrival,
     "event_type_transitions": event_type_transitions,
+    "user_value_drift": user_value_drift,
     "supplier_names_by_nation": supplier_names_by_nation,
     "orders_rollup": orders_rollup,
     "ann_topk_cosine": ann_topk_cosine,
