@@ -2198,6 +2198,86 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
     return fine.union(mid).union(top)
 
 
+def lineitem_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): sum-of-quantity and
+    count at all FOUR grouping sets — (flag,status), (flag), (status),
+    () — with NULLs marking the cubed-away columns. Completes the
+    grouping-sets family next to orders_rollup's ROLLUP pyramid.
+
+    Ray shape: the finest groupby runs distributed ONCE over the fact
+    table; all three coarser grouping sets re-aggregate ITS output,
+    which is dimension-sized (|flags| x |statuses| rows) — the classic
+    partial-reaggregation pyramid, no second pass over lineitem.
+    Quantities are safe-cast to int64 (raises on a fractional value
+    rather than rounding) so the oracle compare is integer-bit-stable."""
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),  # safe cast
+            }
+        )
+
+    fine = (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(narrow, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n"))
+        .materialize()
+    )
+
+    def _nullify(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {
+                "l_returnflag": t["l_returnflag"]
+                if col != "l_returnflag"
+                else pa.nulls(t.num_rows, pa.string()),
+                "l_linestatus": t["l_linestatus"]
+                if col != "l_linestatus"
+                else pa.nulls(t.num_rows, pa.string()),
+                "sum_qty": t["sum_qty"],
+                "n": t["n"],
+            }
+            return pa.table(cols)
+
+        return fn
+
+    by_flag = (
+        fine.groupby("l_returnflag")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("n", alias_name="n"))
+        .map_batches(_nullify("l_linestatus"), batch_format="pyarrow")
+    )
+    by_status = (
+        fine.groupby("l_linestatus")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("n", alias_name="n"))
+        .map_batches(_nullify("l_returnflag"), batch_format="pyarrow")
+    )
+
+    import ray as _ray
+
+    tiny = pa.concat_tables(
+        [t for t in (_ray.get(r) for r in fine.to_arrow_refs()) if t.num_rows]
+    )
+    grand = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.nulls(1, pa.string()),
+                "l_linestatus": pa.nulls(1, pa.string()),
+                "sum_qty": pa.array(
+                    [pc.sum(tiny["sum_qty"]).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([pc.sum(tiny["n"]).as_py() or 0], pa.int64()),
+            }
+        )
+    )
+    return fine.union(by_flag).union(by_status).union(grand)
+
+
 LOCAL_VOLUME_REGION = "ASIA"
 LOCAL_VOLUME_LO = "1996-01-01"
 LOCAL_VOLUME_HI = "1998-01-01"
@@ -3473,6 +3553,13 @@ SQL_ORACLES["orders_rollup"] = """
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
+SQL_ORACLES["lineitem_cube"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
 SQL_ORACLES["local_supplier_volume"] = f"""
     SELECT n.n_name,
            CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
@@ -4341,6 +4428,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "user_value_drift": user_value_drift,
     "supplier_names_by_nation": supplier_names_by_nation,
     "orders_rollup": orders_rollup,
+    "lineitem_cube": lineitem_cube,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf_full": ann_topk_ivf_full,
     "embedding_neardup_cosine": embedding_neardup_cosine,
