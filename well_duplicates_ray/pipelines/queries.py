@@ -1109,6 +1109,38 @@ def order_priority_pivot(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def order_priority_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT / melt (wide -> long): the status-count pivot melted back
+    to one row per (priority, status) cell with ZERO cells preserved —
+    distinct from a plain two-key groupby, which omits empty combos.
+
+    Ray shape: the wide input is the pivot's dimension-sized aggregate;
+    the melt itself is a vectorized map_batches (each task emits
+    |statuses| output rows per input row via column-slice concat) —
+    embarrassingly parallel, no shuffle. At 100 TB the melt cost is
+    proportional to the WIDE table, which a pivot has already reduced
+    to dimension size."""
+    wide = order_priority_pivot(sf_dir)
+    statuses = [("F", "n_f"), ("O", "n_o"), ("P", "n_p")]
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "o_orderstatus": pa.array(
+                        [status] * t.num_rows, pa.string()
+                    ),
+                    "n": t[col],
+                }
+            )
+            for status, col in statuses
+        ]
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 def orders_monthly(sf_dir: str) -> ray.data.Dataset:
     """Calendar rollup: orders per month with integer-exact cent totals
     (date_trunc is a vectorized Arrow kernel; sum of int64 cents is
@@ -3102,6 +3134,18 @@ SQL_ORACLES["order_priority_pivot"] = """
     FROM orders GROUP BY o_orderpriority
 """
 
+SQL_ORACLES["order_priority_unpivot"] = """
+    SELECT o_orderpriority, o_orderstatus, n FROM (
+      UNPIVOT (
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority
+      ) ON "F", "O", "P" INTO NAME o_orderstatus VALUE n
+    )
+"""
+
 SQL_ORACLES["orders_monthly"] = """
     SELECT date_trunc('month', o_orderdate) AS month,
            COUNT(*) AS n_orders,
@@ -4412,6 +4456,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "customer_order_stats": customer_order_stats,
     "top_revenue_orders": top_revenue_orders,
     "order_priority_pivot": order_priority_pivot,
+    "order_priority_unpivot": order_priority_unpivot,
     "orders_monthly": orders_monthly,
     "value_histogram": value_histogram,
     "nations_customers_except_suppliers": nations_customers_except_suppliers,
