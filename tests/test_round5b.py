@@ -288,6 +288,101 @@ def test_event_type_transitions_single_event_users(ray_session, tmp_path):
     }
 
 
+def test_order_price_median_cont_oracle(ray_session):
+    """PERCENTILE_CONT(0.5) via the pinned (lo+hi)/200.0 restatement:
+    bit-exact (check_exact), not approximately equal."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["order_price_median_cont"])
+    got = _sorted_df(q.order_price_median_cont(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
+
+
+def test_order_price_median_cont_interpolation(ray_session, tmp_path):
+    """Even-sized groups interpolate between the two middles; odd sizes
+    return the exact middle; a single-row group returns its value."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "o_orderpriority": pa.array(
+                ["E", "E", "O", "O", "O", "S"], pa.string()
+            ),
+            "o_totalprice": pa.array(
+                [10.0, 20.0, 10.0, 20.0, 40.0, 7.5], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(t, d / "orders.parquet")
+    got = _sorted_df(q.order_price_median_cont(str(d)))
+    med = dict(zip(got["o_orderpriority"], got["median_price"]))
+    assert med == {"E": 15.0, "O": 20.0, "S": 7.5}
+    assert dict(zip(got["o_orderpriority"], got["n_rows"])) == {
+        "E": 2, "O": 3, "S": 1,
+    }
+
+
+def test_qty_price_corr_oracle(ray_session):
+    """Grouped Pearson CORR over exact integer second moments: bit-exact
+    vs the HUGEINT SQL restatement (check_exact)."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["qty_price_corr_by_flag"])
+    got = _sorted_df(q.qty_price_corr_by_flag(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
+
+
+def test_qty_price_corr_constant_column_is_null(ray_session, tmp_path):
+    """A group with zero variance on either side yields NULL (the
+    denominator guard), never a ZeroDivisionError or inf; a varying
+    group matches the closed form computed independently."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(
+                ["C", "C", "C", "V", "V", "V"], pa.string()
+            ),
+            "l_quantity": pa.array(
+                [5.0, 5.0, 5.0, 1.0, 2.0, 3.0], pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [10.0, 20.0, 30.0, 10.0, 20.0, 35.0], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(t, d / "lineitem.parquet")
+    got = _sorted_df(q.qty_price_corr_by_flag(str(d)))
+    by_flag = dict(zip(got["l_returnflag"], got["corr_qty_price"]))
+    assert math.isnan(by_flag["C"]) or by_flag["C"] is None
+    # independent closed form for the varying group
+    x = np.array([1, 2, 3], dtype=object)
+    y = np.array([10, 20, 35], dtype=object)
+    n, sx, sy = 3, int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    want_v = float(n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    )
+    assert by_flag["V"] == want_v
+
+
 def test_user_value_drift_oracle(ray_session):
     """FIRST_VALUE/LAST_VALUE frame: one row per user, endpoints from a
     single sorted pass, bit-equal to the SQL window restatement."""

@@ -1768,6 +1768,144 @@ def order_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     return _quantiles_hist(sf_dir)
 
 
+def order_price_median_cont(sf_dir: str) -> ray.data.Dataset:
+    """Interpolated median per order priority — PERCENTILE_CONT(0.5)
+    semantics, exact and hash-stable (the continuous complement of
+    order_value_quantiles' PERCENTILE_DISC).
+
+    Interpolated quantiles are normally float-hash-hostile (engines
+    differ in the last ulp of the interpolation arithmetic), so both
+    sides pin the arithmetic: values cent-quantize via _cents, the two
+    middle order statistics of the sorted multiset — ranks (n+1)//2 and
+    (n+2)//2, equal when n is odd — are selected exactly as integers,
+    and the published median is the single IEEE expression
+    (lo + hi) / 200.0: one exact-int-to-double conversion and one
+    division, identical in numpy/Python and in the restated DuckDB SQL
+    (no percentile_cont() call on either side).
+
+    Ray shape: the distributed value-histogram form unconditionally —
+    counts pre-aggregate per (priority, cents) inside map_batches so
+    only DISTINCT pairs shuffle; the distinct-value set is bounded by
+    the price RANGE, not the row count, and the cumulative walk per
+    priority is one tiny task (same scale argument as _quantiles_hist)."""
+
+    def cents_hist(t: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+        g = tbl.group_by(["o_orderpriority", "price_cents"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["o_orderpriority", "price_cents", "n"])
+
+    def med(g: pa.Table) -> pa.Table:
+        vals = g["price_cents"].to_numpy()
+        cnts = g["n"].to_numpy()
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (n + 1) // 2, side="left")])
+        hi = int(vals[np.searchsorted(cum, (n + 2) // 2, side="left")])
+        return pa.table(
+            {
+                "o_orderpriority": [g["o_orderpriority"][0].as_py()],
+                "n_rows": pa.array([n], pa.int64()),
+                "median_price": pa.array([(lo + hi) / 200.0], pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(cents_hist, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "price_cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("o_orderpriority")
+        .map_groups(med, batch_format="pyarrow")
+    )
+
+
+def qty_price_corr_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Grouped Pearson correlation (SQL CORR shape) between line
+    quantity and dollar-floored extended price per returnflag — the
+    distributed second-moment aggregate, made bit-exact.
+
+    Float CORR is order-dependent under parallel summation, so both
+    sides compute the five second-moment sums over INTEGER-quantized
+    inputs (x = quantity, integer-valued in this corpus; y =
+    floor(price) whole dollars — floor, not round, because numpy rounds
+    half-to-even while SQL rounds half-away-from-zero) and apply ONE
+    closed-form IEEE expression to the exact integer sums:
+
+        corr = (n*sxy - sx*sy)
+               / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+
+    Each map_batches task pre-aggregates its batch to |flags| partial
+    rows via Arrow group_by (per-row magnitudes keep every per-task
+    int64 sum safe: y*y <= 1.1e10), the global Sum merge shuffles
+    O(tasks x flags) rows, and the final |flags|-row expression
+    evaluates in Python arbitrary-precision ints (the cross term n*sxy
+    exceeds int64 past ~1e8 rows — at that scale swap the Sum merge for
+    the hi/lo-split accumulator; the oracle mirrors with HUGEINT)
+    before the one float conversion per group."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy().astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy()).astype(np.int64)
+        tbl = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y,
+            }
+        )
+        g = tbl.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "sx", "sy", "sxx", "syy", "sxy", "n"]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import math
+
+        flags, ns, corrs = [], [], []
+        for r in t.to_pylist():  # <= |flags| rows, exact Python ints
+            n = r["n"]
+            num = n * r["sxy"] - r["sx"] * r["sy"]
+            dx = n * r["sxx"] - r["sx"] * r["sx"]
+            dy = n * r["syy"] - r["sy"] * r["sy"]
+            flags.append(r["l_returnflag"])
+            ns.append(n)
+            corrs.append(
+                float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+                if dx > 0 and dy > 0 else None
+            )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "corr_qty_price": pa.array(corrs, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"), Sum("n", alias_name="n"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -3239,6 +3377,60 @@ SQL_ORACLES["order_value_quantiles"] = f"""
     FROM r GROUP BY o_orderpriority
 """
 
+# PERCENTILE_CONT restated without percentile_cont(): both engines pick
+# the two middle cent-quantized order statistics exactly, then evaluate
+# the identical IEEE expression (lo + hi) / 200.0 (see
+# order_price_median_cont docstring).
+SQL_ORACLES["order_price_median_cont"] = """
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), r AS (
+        SELECT o_orderpriority, price_cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY price_cents) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM c
+    )
+    SELECT o_orderpriority,
+           MAX(n) AS n_rows,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN price_cents END)
+                + MAX(CASE WHEN rn = (n + 2) // 2 THEN price_cents END)
+                AS DOUBLE) / 200.0 AS median_price
+    FROM r GROUP BY o_orderpriority
+"""
+
+# CORR restated over exact integer second-moment sums: DuckDB sums in
+# HUGEINT, the engine in per-task int64 partials merged with Python
+# arbitrary-precision ints; both then evaluate the same closed-form
+# IEEE expression (see qty_price_corr_by_flag docstring).
+SQL_ORACLES["qty_price_corr_by_flag"] = """
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr_qty_price
+    FROM s
+"""
+
 # Predicate-complete SQL restatement of the flagship text near-dup
 # semantics (DOC_CFG: byte 5-shingle Jaccard >= 0.7, common substring
 # >= 48 == shared 48-gram, exact text): the engine's LSH/winnow candidate
@@ -4464,6 +4656,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "distinct_users_per_type": distinct_users_per_type,
     "contacts_by_nation_role": contacts_by_nation_role,
     "order_value_quantiles": order_value_quantiles,
+    "order_price_median_cont": order_price_median_cont,
+    "qty_price_corr_by_flag": qty_price_corr_by_flag,
     "asof_latest_order": asof_latest_order,
     "trailing_user_value_1h": trailing_user_value_1h,
     "top3_orders_per_cust": top3_orders_per_cust,
