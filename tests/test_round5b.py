@@ -395,3 +395,96 @@ def test_user_value_drift_oracle(ray_session):
     assert (got["drift_cents"]
             == got["last_cents"] - got["first_cents"]).all()
     assert got["user_id"].is_unique
+
+
+def test_qty_price_regr_oracle(ray_session):
+    """Grouped REGR_SLOPE/REGR_INTERCEPT over exact integer moments:
+    bit-exact vs the HUGEINT SQL restatement (check_exact)."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["qty_price_regr_by_flag"])
+    got = _sorted_df(q.qty_price_regr_by_flag(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
+
+
+def test_qty_price_regr_constant_x_is_null(ray_session, tmp_path):
+    """Zero x-variance (vertical line) yields NULL slope AND intercept —
+    the den>0 guard — while a varying group matches the closed forms
+    (including the single-division intercept identity) computed
+    independently."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(
+                ["C", "C", "C", "V", "V", "V"], pa.string()
+            ),
+            "l_quantity": pa.array(
+                [5.0, 5.0, 5.0, 1.0, 2.0, 4.0], pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [10.0, 20.0, 30.0, 10.0, 20.0, 35.0], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(t, d / "lineitem.parquet")
+    got = _sorted_df(q.qty_price_regr_by_flag(str(d)))
+    by_flag = got.set_index("l_returnflag")
+    assert math.isnan(by_flag.loc["C", "slope_price_per_qty"])
+    assert math.isnan(by_flag.loc["C", "intercept_price"])
+    n, sx, sy = 3, 1 + 2 + 4, 10 + 20 + 35
+    sxx, sxy = 1 + 4 + 16, 10 + 40 + 140
+    den = n * sxx - sx * sx
+    assert by_flag.loc["V", "slope_price_per_qty"] == float(
+        n * sxy - sx * sy
+    ) / float(den)
+    assert by_flag.loc["V", "intercept_price"] == float(
+        sy * sxx - sx * sxy
+    ) / float(den)
+
+
+def test_orders_above_cust_avg_oracle(ray_session):
+    """Decorrelated correlated-subquery: one custkey-hash shuffle, no
+    join — bit-exact vs the exact-integer SQL restatement."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["orders_above_cust_avg"])
+    assert len(want) > 0
+    got = _sorted_df(q.orders_above_cust_avg(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_orders_above_cust_avg_strictness(ray_session, tmp_path):
+    """Semantics pinned on a hand-built table: a single-order customer
+    is never above their own average (strict >), an order exactly AT
+    the average is excluded, and only strictly-above orders survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 9], pa.int64()),
+            # cust 7: avg = 20.00 -> order 3 (30.00) strictly above,
+            # order 2 (20.00) is a tie at the average -> excluded;
+            # cust 9: single order == its own average -> excluded.
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 55.5], pa.float64()),
+        }
+    )
+    pq.write_table(t, d / "orders.parquet")
+    got = _sorted_df(q.orders_above_cust_avg(str(d)))
+    assert got["o_orderkey"].tolist() == [3]
+    assert got["o_totalprice"].tolist() == [30.0]

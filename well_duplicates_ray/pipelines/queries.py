@@ -1906,6 +1906,129 @@ def qty_price_corr_by_flag(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def qty_price_regr_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Grouped least-squares line (SQL REGR_SLOPE / REGR_INTERCEPT
+    shape) of dollar-floored extended price on quantity per returnflag —
+    the same exact-integer-moment machinery as qty_price_corr_by_flag
+    (which see for the quantization rationale), finished with the
+    join-free closed forms
+
+        slope     = (n*sxy - sx*sy) / (n*sxx - sx*sx)
+        intercept = (sy*sxx - sx*sxy) / (n*sxx - sx*sx)
+
+    The intercept uses the single-division identity (sy*sxx - sx*sxy)
+    / den rather than the textbook (sy - slope*sx)/n two-step so each
+    output is ONE float division of two exact integers — bit-identical
+    to the SQL restatement regardless of evaluation order. Only four
+    moment columns shuffle (no syy); the merge is O(tasks x flags)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy().astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy()).astype(np.int64)
+        tbl = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": x, "y": y, "xx": x * x, "xy": x * y,
+            }
+        )
+        g = tbl.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"),
+             ("xy", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "sx", "sy", "sxx", "sxy", "n"]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        flags, ns, slopes, intercepts = [], [], [], []
+        for r in t.to_pylist():  # <= |flags| rows, exact Python ints
+            n, sx, sy, sxx, sxy = (
+                r["n"], r["sx"], r["sy"], r["sxx"], r["sxy"]
+            )
+            den = n * sxx - sx * sx
+            flags.append(r["l_returnflag"])
+            ns.append(n)
+            slopes.append(
+                float(n * sxy - sx * sy) / float(den) if den > 0 else None
+            )
+            intercepts.append(
+                float(sy * sxx - sx * sxy) / float(den) if den > 0 else None
+            )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "slope_price_per_qty": pa.array(slopes, pa.float64()),
+                "intercept_price": pa.array(intercepts, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("sxy", alias_name="sxy"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def orders_above_cust_avg(sf_dir: str) -> ray.data.Dataset:
+    """Orders strictly above their own customer's average order value —
+    the classic correlated scalar subquery, decorrelated into ONE
+    custkey-hash shuffle with no join: each partition task holds every
+    order of its customers, builds the per-customer (count, sum) pair
+    vectorized, and filters its own rows in place (the windowed-family
+    partition-kernel idiom, one task per data-sized partition, never
+    one per customer).
+
+    Float AVG is order-dependent under parallel summation, so the
+    comparison is exact integer arithmetic on half-cents-floored prices:
+
+        keep row  <=>  cents * n_cust > sum_cents_cust
+
+    with cents = floor(o_totalprice * 100) — the identical IEEE
+    double multiply + floor on both sides, then pure int64 (cents
+    <= ~5e7 and per-customer counts are bounded, so the cross term
+    stays far inside int64; a 10^12-order corpus would switch the
+    per-partition sums to the hi/lo-split accumulator)."""
+    from well_duplicates_ray.functions.phash import mix64
+
+    nparts = _window_nparts(_table_rows(sf_dir, "orders"))
+
+    def pid(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        p = (mix64(ck.view(np.uint64), 0xA5CE) % np.uint64(nparts)).astype(
+            np.int32
+        )
+        return t.append_column("_pid", pa.array(p, pa.int32()))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        _, inv = np.unique(ck, return_inverse=True)
+        n_cust = np.bincount(inv).astype(np.int64)
+        sum_cents = np.zeros(n_cust.size, np.int64)
+        np.add.at(sum_cents, inv, cents)
+        keep = cents * n_cust[inv] > sum_cents[inv]
+        return t.select(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).filter(pa.array(keep))
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(pid, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -3431,6 +3554,55 @@ SQL_ORACLES["qty_price_corr_by_flag"] = """
     FROM s
 """
 
+# REGR_SLOPE / REGR_INTERCEPT restated over the same exact integer
+# moments as the CORR oracle; the intercept uses the single-division
+# identity (sy*sxx - sx*sxy)/den so both sides perform ONE float
+# division of two exact integers (see qty_price_regr_by_flag).
+SQL_ORACLES["qty_price_regr_by_flag"] = """
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_price_per_qty,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS intercept_price
+    FROM s
+"""
+
+# Correlated scalar subquery (orders above their customer's average),
+# restated as exact integer arithmetic on half-cents-floored prices so
+# the strict comparison is order-independent on both sides (see
+# orders_above_cust_avg: cents * n > sum_cents).
+SQL_ORACLES["orders_above_cust_avg"] = """
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS s
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+    WHERE CAST(FLOOR(o.o_totalprice * 100) AS HUGEINT) * c.n > c.s
+"""
+
 # Predicate-complete SQL restatement of the flagship text near-dup
 # semantics (DOC_CFG: byte 5-shingle Jaccard >= 0.7, common substring
 # >= 48 == shared 48-gram, exact text): the engine's LSH/winnow candidate
@@ -4658,6 +4830,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "order_value_quantiles": order_value_quantiles,
     "order_price_median_cont": order_price_median_cont,
     "qty_price_corr_by_flag": qty_price_corr_by_flag,
+    "qty_price_regr_by_flag": qty_price_regr_by_flag,
+    "orders_above_cust_avg": orders_above_cust_avg,
     "asof_latest_order": asof_latest_order,
     "trailing_user_value_1h": trailing_user_value_1h,
     "top3_orders_per_cust": top3_orders_per_cust,
