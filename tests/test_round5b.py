@@ -488,3 +488,50 @@ def test_orders_above_cust_avg_strictness(ray_session, tmp_path):
     got = _sorted_df(q.orders_above_cust_avg(str(d)))
     assert got["o_orderkey"].tolist() == [3]
     assert got["o_totalprice"].tolist() == [30.0]
+
+
+def test_nation_bag_setops_oracle(ray_session):
+    """INTERSECT ALL / EXCEPT ALL (bag semantics): the join-free
+    count-merge-expand must reproduce DuckDB's multiset exactly,
+    duplicates included."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    for name in ("nation_intersect_all", "nation_except_all"):
+        want = _oracle_df(q.SQL_ORACLES[name])
+        assert len(want) > 0  # non-vacuous on the testdata
+        got = _sorted_df(q.SQL_QUERIES[name](SF_DIR))
+        pd.testing.assert_frame_equal(
+            got, want.astype(got.dtypes.to_dict())
+        )
+
+
+def test_bag_setop_multiplicity_and_chunking(ray_session, tmp_path):
+    """Bag multiplicities pinned on a hand-built table, with the
+    re-expansion chunk forced tiny (3) so a key's multiplicity spans
+    several chunk rows — the hot-key split path — and must still
+    reassemble to exactly min(ca, cb) / max(ca - cb, 0) copies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"c_nationkey": pa.array([1] * 10 + [2] * 2, pa.int64())}),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"s_nationkey": pa.array([1] * 7 + [3], pa.int64())}),
+        d / "supplier.parquet",
+    )
+    inter = sorted(
+        q._bag_setop(str(d), "intersect", chunk=3)
+        .to_pandas()["nationkey"].tolist()
+    )
+    assert inter == [1] * 7  # min(10, 7), reassembled from chunks 3+3+1
+    exc = sorted(
+        q._bag_setop(str(d), "except", chunk=3)
+        .to_pandas()["nationkey"].tolist()
+    )
+    assert exc == [1] * 3 + [2] * 2  # 10-7 and 2-0; key 3 never emits

@@ -2029,6 +2029,108 @@ def orders_above_cust_avg(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Bag re-expansion emits at most this many repeats per intermediate row,
+# so one pathologically hot key becomes many bounded expansion rows (and
+# Ray's dynamic block splitting bounds each output block) instead of one
+# task materializing the whole multiplicity.
+BAG_EXPAND_CHUNK = 1 << 20
+
+
+def _bag_setop(
+    sf_dir: str, mode: str, chunk: int = BAG_EXPAND_CHUNK
+) -> ray.data.Dataset:
+    """Multiset (bag) set operation between the customer and supplier
+    nation-key bags — INTERSECT ALL keeps each key min(ca, cb) times,
+    EXCEPT ALL keeps it max(ca - cb, 0) times (SQL bag semantics; the
+    DISTINCT-semantics siblings are covered elsewhere).
+
+    Join-free single shuffle: each side pre-counts its batch with Arrow
+    value_counts into tagged (key, ca, cb) partial rows, the two streams
+    union, ONE groupby merges O(tasks x keys) partial rows, and a final
+    vectorized stage re-expands each key to its multiplicity — split
+    into <= BAG_EXPAND_CHUNK-repeat rows first, so expansion work for a
+    hot key is many bounded rows, never one unbounded task."""
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["c_nationkey"].combine_chunks())
+        return pa.table(
+            {
+                "nationkey": vc.field("values"),
+                "ca": pc.cast(vc.field("counts"), pa.int64()),
+                "cb": pa.array(np.zeros(len(vc), np.int64)),
+            }
+        )
+
+    def supp_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["s_nationkey"].combine_chunks())
+        return pa.table(
+            {
+                "nationkey": vc.field("values"),
+                "ca": pa.array(np.zeros(len(vc), np.int64)),
+                "cb": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "supplier", ["s_nationkey"])
+            .map_batches(supp_partial, batch_format="pyarrow")
+        )
+        .groupby("nationkey")
+        .aggregate(Sum("ca", alias_name="ca"), Sum("cb", alias_name="cb"))
+    )
+
+    def multiplicity(t: pa.Table) -> pa.Table:
+        ca = t["ca"].to_numpy().astype(np.int64)
+        cb = t["cb"].to_numpy().astype(np.int64)
+        m = np.minimum(ca, cb) if mode == "intersect" else ca - cb
+        keep = m > 0
+        k = t["nationkey"].to_numpy()[keep]
+        m = m[keep]
+        nch = -(-m // chunk)  # chunks per key, >= 1
+        keys = np.repeat(k, nch)
+        chunks = np.full(int(nch.sum()), chunk, np.int64)
+        chunks[np.cumsum(nch) - 1] = m - (nch - 1) * chunk
+        return pa.table(
+            {
+                "nationkey": pa.array(keys, pa.int64()),
+                "_m": pa.array(chunks, pa.int64()),
+            }
+        )
+
+    def expand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nationkey": pa.array(
+                    np.repeat(
+                        t["nationkey"].to_numpy(), t["_m"].to_numpy()
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    return (
+        counts
+        .map_batches(multiplicity, batch_format="pyarrow")
+        .map_batches(expand, batch_format="pyarrow")
+    )
+
+
+def nation_intersect_all(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT ALL (bag semantics) of customer vs supplier nation
+    keys — each key min(#customers, #suppliers) times."""
+    return _bag_setop(sf_dir, "intersect")
+
+
+def nation_except_all(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT ALL (bag semantics): customer nation keys with supplier
+    multiplicities subtracted — each key max(ca - cb, 0) times."""
+    return _bag_setop(sf_dir, "except")
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -3603,6 +3705,22 @@ SQL_ORACLES["orders_above_cust_avg"] = """
     WHERE CAST(FLOOR(o.o_totalprice * 100) AS HUGEINT) * c.n > c.s
 """
 
+# Bag-semantics set operations (multiplicity-preserving): the engine's
+# join-free count-merge-expand (see _bag_setop) must reproduce the SQL
+# bag exactly — the driver's order-insensitive hash is multiset-aware,
+# so duplicate rows count.
+SQL_ORACLES["nation_intersect_all"] = """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+"""
+
+SQL_ORACLES["nation_except_all"] = """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+"""
+
 # Predicate-complete SQL restatement of the flagship text near-dup
 # semantics (DOC_CFG: byte 5-shingle Jaccard >= 0.7, common substring
 # >= 48 == shared 48-gram, exact text): the engine's LSH/winnow candidate
@@ -4832,6 +4950,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "qty_price_corr_by_flag": qty_price_corr_by_flag,
     "qty_price_regr_by_flag": qty_price_regr_by_flag,
     "orders_above_cust_avg": orders_above_cust_avg,
+    "nation_intersect_all": nation_intersect_all,
+    "nation_except_all": nation_except_all,
     "asof_latest_order": asof_latest_order,
     "trailing_user_value_1h": trailing_user_value_1h,
     "top3_orders_per_cust": top3_orders_per_cust,
