@@ -535,3 +535,54 @@ def test_bag_setop_multiplicity_and_chunking(ray_session, tmp_path):
         .to_pandas()["nationkey"].tolist()
     )
     assert exc == [1] * 3 + [2] * 2  # 10-7 and 2-0; key 3 never emits
+
+
+def test_rich_contacts_full_outer_oracle(ray_session):
+    """FULL OUTER JOIN + COALESCE zero-fill via tagged-union count
+    merge: bit-exact vs SQL, with the supplier-missing outer direction
+    genuinely exercised on the testdata."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["rich_contacts_full_outer"])
+    got = _sorted_df(q.rich_contacts_full_outer(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert (got["n_supp"] == 0).any()  # outer rows present, zero-filled
+
+
+def test_rich_contacts_full_outer_both_directions(ray_session, tmp_path):
+    """Both outer directions pinned on a hand-built table: a nation
+    with only a rich customer, one with only a rich supplier, one with
+    both, and an all-poor nation that must NOT appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_nationkey": pa.array([1, 3, 3, 4], pa.int64()),
+                "c_acctbal": pa.array(
+                    [9500.0, 9500.0, 9600.0, 100.0], pa.float64()
+                ),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_nationkey": pa.array([2, 3, 4], pa.int64()),
+                "s_acctbal": pa.array([9500.0, 9500.0, 50.0], pa.float64()),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+    got = _sorted_df(q.rich_contacts_full_outer(str(d)))
+    assert sorted(got.to_dict("records"), key=lambda r: r["nationkey"]) == [
+        {"n_cust": 1, "n_supp": 0, "nationkey": 1},  # customer-only outer
+        {"n_cust": 0, "n_supp": 1, "nationkey": 2},  # supplier-only outer
+        {"n_cust": 2, "n_supp": 1, "nationkey": 3},  # inner
+    ]  # nation 4 (all poor) absent

@@ -2131,6 +2131,62 @@ def nation_except_all(sf_dir: str) -> ray.data.Dataset:
     return _bag_setop(sf_dir, "except")
 
 
+def rich_contacts_full_outer(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER JOIN with COALESCE zero-fill: per-nation counts of
+    rich customers vs rich suppliers (acctbal > RICH_ACCTBAL on both
+    sides), keeping nations present on EITHER side — the outer rows
+    carry a genuine zero on the missing side (the RICH filter makes the
+    sides asymmetric on the testdata, so both outer directions are
+    actually exercised).
+
+    Join-free: the same tagged-union count-merge as the bag set ops —
+    each side pre-counts its filtered batch with Arrow value_counts
+    into (nationkey, n_cust, n_supp) partials (the absent side is a
+    zero column, which IS the coalesce), the streams union, and ONE
+    groupby Sum merges O(tasks x keys) rows. A FULL OUTER join of two
+    keyed aggregates never needs a join operator."""
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["c_acctbal"], RICH_ACCTBAL))[
+            "c_nationkey"
+        ].combine_chunks()
+        vc = pc.value_counts(keys)
+        return pa.table(
+            {
+                "nationkey": vc.field("values"),
+                "n_cust": pc.cast(vc.field("counts"), pa.int64()),
+                "n_supp": pa.array(np.zeros(len(vc), np.int64)),
+            }
+        )
+
+    def supp_partial(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["s_acctbal"], RICH_ACCTBAL))[
+            "s_nationkey"
+        ].combine_chunks()
+        vc = pc.value_counts(keys)
+        return pa.table(
+            {
+                "nationkey": vc.field("values"),
+                "n_cust": pa.array(np.zeros(len(vc), np.int64)),
+                "n_supp": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+            .map_batches(supp_partial, batch_format="pyarrow")
+        )
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("n_supp", alias_name="n_supp"),
+        )
+    )
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -3721,6 +3777,22 @@ SQL_ORACLES["nation_except_all"] = """
     SELECT s_nationkey FROM supplier
 """
 
+# FULL OUTER JOIN + COALESCE zero-fill, restated engine-side as a
+# tagged-union count merge (see rich_contacts_full_outer).
+SQL_ORACLES["rich_contacts_full_outer"] = f"""
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        FROM customer WHERE c_acctbal > {RICH_ACCTBAL} GROUP BY 1
+    ), s AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        FROM supplier WHERE s_acctbal > {RICH_ACCTBAL} GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
 # Predicate-complete SQL restatement of the flagship text near-dup
 # semantics (DOC_CFG: byte 5-shingle Jaccard >= 0.7, common substring
 # >= 48 == shared 48-gram, exact text): the engine's LSH/winnow candidate
@@ -4952,6 +5024,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "orders_above_cust_avg": orders_above_cust_avg,
     "nation_intersect_all": nation_intersect_all,
     "nation_except_all": nation_except_all,
+    "rich_contacts_full_outer": rich_contacts_full_outer,
     "asof_latest_order": asof_latest_order,
     "trailing_user_value_1h": trailing_user_value_1h,
     "top3_orders_per_cust": top3_orders_per_cust,
