@@ -586,3 +586,58 @@ def test_rich_contacts_full_outer_both_directions(ray_session, tmp_path):
         {"n_cust": 0, "n_supp": 1, "nationkey": 2},  # supplier-only outer
         {"n_cust": 2, "n_supp": 1, "nationkey": 3},  # inner
     ]  # nation 4 (all poor) absent
+
+
+def test_order_price_rank_ties_oracle(ray_session):
+    """Tie-aware RANK/DENSE_RANK via sample-sort: bit-exact vs the SQL
+    window restatement over the full orders table."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["order_price_rank_ties"])
+    got = _sorted_df(q.order_price_rank_ties(SF_DIR))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_order_price_rank_ties_heavy_ties(ray_session, tmp_path):
+    """The testdata is nearly tie-free, so tie semantics are pinned on
+    a hand-built table with big tie groups spread across partitions:
+    RANK jumps by group size, DENSE_RANK increments by one, and
+    value-routing keeps every tie group's rank identical even though
+    the 14 rows span multiple sample-sort partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    prices = [10.0] * 5 + [20.0] * 4 + [30.0] * 4 + [40.0]
+    keys = list(range(1, 15))
+    # shuffle file order so partitions don't trivially align with groups
+    perm = [3, 13, 7, 0, 10, 5, 1, 12, 8, 4, 11, 2, 9, 6]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([keys[i] for i in perm], pa.int64()),
+                "o_totalprice": pa.array(
+                    [prices[i] for i in perm], pa.float64()
+                ),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    got = (
+        q.order_price_rank_ties(str(d))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want_rank = {10.0: 1, 20.0: 6, 30.0: 10, 40.0: 14}
+    want_dense = {10.0: 1, 20.0: 2, 30.0: 3, 40.0: 4}
+    by_key = dict(zip(keys, prices))
+    assert got["rnk"].tolist() == [
+        want_rank[by_key[k]] for k in got["o_orderkey"]
+    ]
+    assert got["drnk"].tolist() == [
+        want_dense[by_key[k]] for k in got["o_orderkey"]
+    ]

@@ -3111,6 +3111,137 @@ def global_price_rank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def order_price_rank_ties(sf_dir: str) -> ray.data.Dataset:
+    """Distributed TIE-AWARE total-order ranks: SQL RANK() and
+    DENSE_RANK() over the whole orders table by price — the
+    ties-coalesced complement of global_price_rank's ROW_NUMBER
+    (which breaks ties deterministically instead).
+
+    Same three-pass sample-sort shape, with one extra small pass
+    because tie-aware offsets need per-partition DISTINCT counts:
+      1. stride-sample boundaries (value-routed: equal prices always
+         land in ONE partition, so tie groups never straddle a cut);
+      2. a distinct-value histogram (map_batches value_counts partials
+         -> ONE groupby; only DISTINCT prices shuffle, the median
+         machinery's shape) is reduced per partition to (n_rows,
+         n_distinct) — nparts rows on the driver — and exclusive
+         prefix sums give each partition its RANK offset (rows before)
+         and DENSE_RANK offset (distinct values before);
+      3. each partition sorts locally and emits
+         rank  = rank_off  + searchsorted(sorted, sorted, 'left') + 1
+         dense = dense_off + cumsum(first-occurrence flags)
+    No arithmetic touches the float key — only comparisons/equality,
+    which are bit-identical in numpy and SQL — so int64 outputs are
+    hash-stable with no quantization."""
+    n = _table_rows(sf_dir, "orders")
+    nparts = _window_nparts(n)
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy()
+        stride = max(1, len(v) // RANK_SAMPLE_PER_BLOCK)
+        return pa.table({"v": pa.array(v[::stride])})
+
+    sampled = [
+        t for t in (
+            ray.get(r) for r in
+            _read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(sample, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows
+    ]
+    samp = (
+        np.sort(pa.concat_tables(sampled)["v"].to_numpy())
+        if sampled else np.array([], dtype=np.float64)
+    )
+    cuts = (
+        samp[np.linspace(0, len(samp) - 1, nparts + 1)
+             .astype(np.int64)[1:-1]]
+        if len(samp) else np.array([], dtype=np.float64)
+    )
+    bref = ray.put(np.ascontiguousarray(cuts))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["o_totalprice"].combine_chunks())
+        return pa.table(
+            {
+                "price": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def per_pid(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        pid = np.searchsorted(b, t["price"].to_numpy(), side="right")
+        g = (
+            pa.table({"pid": pa.array(pid.astype(np.int64)), "n": t["n"]})
+            .group_by("pid")
+            .aggregate([("n", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["pid", "nr", "nd"])
+
+    pid_counts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("price")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(per_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(Sum("nr", alias_name="nr"), Sum("nd", alias_name="nd"))
+    )
+    ct_parts = [
+        t for t in (ray.get(r) for r in pid_counts.to_arrow_refs())
+        if t.num_rows
+    ]
+    nrows = np.zeros(nparts + 1, dtype=np.int64)
+    ndist = np.zeros(nparts + 1, dtype=np.int64)
+    if ct_parts:
+        ct = pa.concat_tables(ct_parts)
+        nrows[ct["pid"].to_numpy()] = ct["nr"].to_numpy()
+        ndist[ct["pid"].to_numpy()] = ct["nd"].to_numpy()
+    rank_off = np.concatenate(([0], np.cumsum(nrows)[:-1]))
+    dense_off = np.concatenate(([0], np.cumsum(ndist)[:-1]))
+    offref = ray.put(
+        (np.ascontiguousarray(rank_off), np.ascontiguousarray(dense_off))
+    )
+
+    def pid_of(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        pid = np.searchsorted(b, t["o_totalprice"].to_numpy(), side="right")
+        return pa.table(
+            {
+                "pid": pa.array(pid.astype(np.int64)),
+                "o_orderkey": t["o_orderkey"],
+                "price": t["o_totalprice"],
+            }
+        )
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        roff, doff = ray.get(offref)
+        pid = int(t["pid"][0].as_py())
+        key = t["o_orderkey"].to_numpy()
+        price = t["price"].to_numpy()
+        order = np.argsort(price, kind="stable")
+        c = price[order]
+        rnk = roff[pid] + np.searchsorted(c, c, side="left") + 1
+        first = np.ones(len(c), dtype=np.int64)
+        if len(c) > 1:
+            first[1:] = (c[1:] != c[:-1]).astype(np.int64)
+        drnk = doff[pid] + np.cumsum(first)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key[order]),
+                "rnk": pa.array(rnk.astype(np.int64)),
+                "drnk": pa.array(drnk),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(pid_of, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(rank_part, batch_format="pyarrow")
+    )
+
+
 def region_priority_matrix(sf_dir: str) -> ray.data.Dataset:
     """CROSS JOIN + zero-preserving LEFT JOIN (dense matrix output):
     one row for EVERY (region, order priority) combination — including
@@ -4229,6 +4360,16 @@ SQL_ORACLES["global_price_rank"] = """
     FROM orders
 """
 
+# Tie-aware siblings: RANK/DENSE_RANK coalesce equal prices, so no
+# tiebreak column — only float comparisons/equality, no arithmetic
+# (see order_price_rank_ties).
+SQL_ORACLES["order_price_rank_ties"] = """
+    SELECT o_orderkey,
+           RANK() OVER (ORDER BY o_totalprice) AS rnk,
+           DENSE_RANK() OVER (ORDER BY o_totalprice) AS drnk
+    FROM orders
+"""
+
 _BANDS_VALUES = ", ".join(
     f"('{b}', {lo}, {hi})" for b, lo, hi in ACCTBAL_BANDS
 )
@@ -5049,6 +5190,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "top_lang_per_source": top_lang_per_source,
     "acctbal_band_counts": acctbal_band_counts,
     "global_price_rank": global_price_rank,
+    "order_price_rank_ties": order_price_rank_ties,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
