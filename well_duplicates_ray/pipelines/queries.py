@@ -3242,6 +3242,80 @@ def order_price_rank_ties(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+CENTROID_Q = 1 << 20  # quantization scale for hash-stable vector sums
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label centroid of the embedding vectors, one row per
+    (label, dimension) — the grouped VECTOR-COLUMN aggregate that
+    underlies embedding analytics (class means, IVF seeding, drift
+    monitoring), done as a flat-Arrow-buffer 2D reduction.
+
+    Float vector sums are order-dependent under parallel reduction, so
+    each component is quantized to floor(float64(v) * 2^20) — the
+    float32 -> double conversion and one multiply are the identical
+    IEEE ops on both sides — and summed exactly in int64 partials
+    (|v| < 0.5 keeps every per-task sum far inside int64; a 10^13-row
+    corpus would switch the merge to the hi/lo-split accumulator). Each
+    batch reduces to |labels| x dim partial rows via ONE np.add.at over
+    the zero-copy flattened list buffer — no per-row Python, no list
+    unpacking — and a single groupby merges them. The final centroid is
+    ONE float division of two exact integers per cell."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy().astype(np.float64)
+        n = len(emb)
+        if n == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                }
+            )
+        dim = flat.size // n
+        if dim * n != flat.size:
+            raise ValueError("label_centroids: ragged embedding lengths")
+        q = np.floor(flat * float(CENTROID_Q)).astype(np.int64)
+        q = q.reshape(n, dim)
+        labels = t["label"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.size, dim), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), uniq.size)
+                ),
+                "sum_q": pa.array(sums.ravel()),
+                "n_vecs": pa.array(np.repeat(cnt, dim)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_q"].to_numpy().astype(np.int64)
+        n = t["n_vecs"].to_numpy().astype(np.int64)
+        return t.append_column(
+            "centroid_q",
+            pa.array(s.astype(np.float64) / n.astype(np.float64)),
+        )
+
+    return (
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def region_priority_matrix(sf_dir: str) -> ray.data.Dataset:
     """CROSS JOIN + zero-preserving LEFT JOIN (dense matrix output):
     one row for EVERY (region, order priority) combination — including
@@ -4370,6 +4444,30 @@ SQL_ORACLES["order_price_rank_ties"] = """
     FROM orders
 """
 
+# Grouped vector-column aggregate over exact quantized component sums
+# (see label_centroids): DuckDB explodes the vector with ZIPPED unnests
+# (value + 1-based index — lateral generate_series can't take a column
+# parameter); both sides do float32 -> double, one multiply, FLOOR,
+# integer sums, then ONE float division per cell.
+SQL_ORACLES["label_centroids"] = f"""
+    WITH e AS (
+        SELECT label,
+               UNNEST(range(1, len(embedding) + 1)) AS dim,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                          * {CENTROID_Q}.0) AS BIGINT) AS qv
+        FROM embeddings
+    ), s AS (
+        SELECT label, dim,
+               CAST(SUM(qv) AS HUGEINT) AS sum_q,
+               COUNT(*) AS n_vecs
+        FROM e GROUP BY label, dim
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           CAST(sum_q AS BIGINT) AS sum_q, n_vecs,
+           CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS centroid_q
+    FROM s
+"""
+
 _BANDS_VALUES = ", ".join(
     f"('{b}', {lo}, {hi})" for b, lo, hi in ACCTBAL_BANDS
 )
@@ -5191,6 +5289,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "acctbal_band_counts": acctbal_band_counts,
     "global_price_rank": global_price_rank,
     "order_price_rank_ties": order_price_rank_ties,
+    "label_centroids": label_centroids,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
