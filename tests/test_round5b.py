@@ -641,3 +641,35 @@ def test_order_price_rank_ties_heavy_ties(ray_session, tmp_path):
     assert got["drnk"].tolist() == [
         want_dense[by_key[k]] for k in got["o_orderkey"]
     ]
+
+
+def test_large_volume_orders_join_path_matches_broadcast(ray_session):
+    """The above-gate hash-join attach must produce the identical
+    top-100 table as the broadcast index_in attach (same sort, same
+    tie-break), and the empty-HAVING edge returns a typed empty table."""
+    import pyarrow as pa
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(q.large_volume_orders(SF_DIR))
+    assert len(base) > 0
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(q, "Q18_ATTACH_GATE", 0)
+        joined = _sorted_df(q.large_volume_orders(SF_DIR))
+    finally:
+        mp.undo()
+    pd.testing.assert_frame_equal(base, joined)
+
+    # empty edge: no order reaches the cutoff -> schema-stable empty
+    try:
+        mp.setattr(q, "LARGE_QTY_CUTOFF", 10**9)
+        empty = q.large_volume_orders(SF_DIR)
+    finally:
+        mp.undo()
+    assert isinstance(empty, pa.Table) and len(empty) == 0
+    assert empty.column_names == [
+        "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty",
+    ]

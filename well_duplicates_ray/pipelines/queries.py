@@ -3316,6 +3316,127 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+LARGE_QTY_CUTOFF = 250  # HAVING SUM(l_quantity) > this (p99 at the sfs)
+Q18_ATTACH_GATE = 2_000_000  # orders rows: broadcast attach below, join above
+Q18_TOPK = 100
+
+
+def large_volume_orders(sf_dir: str) -> pa.Table:
+    """HAVING-filtered fact self-aggregation + two-table attach + top-k
+    (TPC-H Q18 shape): the 100 highest-value orders whose total line
+    quantity exceeds the cutoff, with the customer name attached.
+
+    Scale shape, in selectivity order (each stage's output is ~100x
+    smaller than its input, so nothing wide ever moves twice):
+    1. lineitem collapses to one (orderkey, sum_qty) row per order in a
+       distributed groupby — quantities are integral doubles, cast to
+       int64 (pyarrow's checked cast raises on a fractional value) so
+       the HAVING sum is exact and hash-stable under any merge order.
+    2. The HAVING filter keeps ~1% of orders. Below the gate that small
+       side is broadcast once (ray.put) and orders rows attach with a
+       vectorized index_in/take at the scan; above the gate it is a
+       hash shuffle join keyed on the SAME orderkey the groupby already
+       partitioned by.
+    3. The distributed sort+limit keeps <= 100 rows (o_orderkey breaks
+       double ties deterministically); only THEN does customer attach —
+       a dimension scan filtered by 100 broadcast keys, so the
+       customer table is never shuffled at all."""
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["sum_qty"], pa.scalar(LARGE_QTY_CUTOFF,
+                                                   pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ocols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+
+    if _table_rows(sf_dir, "orders") <= Q18_ATTACH_GATE:
+        bt = pa.concat_tables(ray.get(big.to_arrow_refs()))
+        bref = ray.put(bt.combine_chunks())
+
+        def attach(t: pa.Table) -> pa.Table:
+            b = ray.get(bref)
+            pos = pc.index_in(
+                t["o_orderkey"], value_set=b["o_orderkey"].combine_chunks()
+            )
+            out = t.append_column("sum_qty", b["sum_qty"].take(pos))
+            return out.filter(pc.is_valid(out["sum_qty"]))
+
+        qual = _read(sf_dir, "orders", ocols).map_batches(
+            attach, batch_format="pyarrow"
+        )
+    else:
+        qual = big.join(
+            _read(sf_dir, "orders", ocols),
+            "inner",
+            _window_nparts(_table_rows(sf_dir, "orders")),
+            on=("o_orderkey",),
+        )
+
+    top = pa.concat_tables(
+        ray.get(
+            qual.sort(["o_totalprice", "o_orderkey"],
+                      descending=[True, False])
+            .limit(Q18_TOPK)
+            .to_arrow_refs()
+        )
+    ).combine_chunks()
+    if len(top) == 0:
+        return pa.table(
+            {
+                "c_name": pa.array([], pa.string()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice": pa.array([], pa.float64()),
+                "sum_qty": pa.array([], pa.int64()),
+            }
+        )
+
+    ckeys = pc.unique(top["o_custkey"])
+    ckref = ray.put(ckeys)
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(ckref)
+        return t.filter(
+            pc.fill_null(pc.is_in(t["c_custkey"], value_set=ks), False)
+        )
+
+    cust = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(cust_filter, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    ).combine_chunks()
+    pos = pc.index_in(top["o_custkey"], value_set=cust["c_custkey"])
+    return pa.table(
+        {
+            "c_name": cust["c_name"].take(pos),
+            "o_custkey": top["o_custkey"],
+            "o_orderkey": top["o_orderkey"],
+            "o_orderdate": top["o_orderdate"],
+            "o_totalprice": top["o_totalprice"],
+            "sum_qty": top["sum_qty"],
+        }
+    )
+
+
 def region_priority_matrix(sf_dir: str) -> ray.data.Dataset:
     """CROSS JOIN + zero-preserving LEFT JOIN (dense matrix output):
     one row for EVERY (region, order priority) combination — including
@@ -4468,6 +4589,27 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q18 shape (see large_volume_orders): HAVING over the fact
+# self-aggregation, attach orders + customer, deterministic top-100
+# (o_orderkey breaks double ties). Quantities are integral doubles on
+# both sides; the BIGINT cast before SUM keeps the HAVING sum exact.
+SQL_ORACLES["large_volume_orders"] = f"""
+    WITH big AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > {LARGE_QTY_CUTOFF}
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o USING (o_orderkey)
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT {Q18_TOPK}
+"""
+
 _BANDS_VALUES = ", ".join(
     f"('{b}', {lo}, {hi})" for b, lo, hi in ACCTBAL_BANDS
 )
@@ -5290,6 +5432,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "global_price_rank": global_price_rank,
     "order_price_rank_ties": order_price_rank_ties,
     "label_centroids": label_centroids,
+    "large_volume_orders": large_volume_orders,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
