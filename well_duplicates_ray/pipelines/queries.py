@@ -3316,6 +3316,99 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q22_BIG_ORDER_CUTOFF = 400_000.0  # "big order" bar for the Q22 shape
+
+
+def idle_rich_customers_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Global scalar subquery + anti-join + grouped aggregate (TPC-H
+    Q22 shape, anti-join side adapted: every synthetic customer has
+    orders, so "idle" means no order above the big-order bar): per
+    nation, the count and exact cents-sum of customers whose balance is
+    strictly above the positive-balance global average and who never
+    placed a big order.
+
+    Float AVG is order-dependent under parallel summation AND the
+    above-average test is knife-edge on the last ulp, so the average is
+    never materialized as a float: both sides compare with ONE exact
+    integer cross-multiply over half-cents-floored balances,
+
+        rich  <=>  cents * n_pos > sum_pos_cents
+
+    (cents <= ~1e6 and n_pos ~1e12 at the 100 TB design point keeps the
+    cross term inside int64). The global (n_pos, sum_pos) pair reduces
+    from per-batch partials to two driver ints — the scalar subquery is
+    broadcast as plain closure constants, not a join. The anti-join
+    pre-aggregates big-order custkeys to distinct BEFORE the shuffle,
+    so only unique keys move."""
+    stats = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "customer", ["c_acctbal"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "n": pa.array([len(
+                            p := t.filter(
+                                pc.greater(t["c_acctbal"], pa.scalar(0.0))
+                            )
+                        )], pa.int64()),
+                        "s": pa.array(
+                            [pc.sum(_cents(p["c_acctbal"])).as_py() or 0],
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+    )
+    n_pos = pc.sum(stats["n"]).as_py() or 0
+    sum_pos = pc.sum(stats["s"]).as_py() or 0
+
+    def rich_filter(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        keep = cents * np.int64(n_pos) > np.int64(sum_pos)
+        out = pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    rich = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(rich_filter, batch_format="pyarrow")
+
+    big_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["o_totalprice"],
+                           pa.scalar(Q22_BIG_ORDER_CUTOFF))
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    return (
+        rich.join(
+            big_cust, "left_anti",
+            _window_nparts(_table_rows(sf_dir, "customer")),
+            on=("c_custkey",),
+        )
+        .groupby("c_nationkey")
+        .aggregate(
+            Count(alias_name="n_cust"),
+            Sum("cents", alias_name="sum_acctbal_cents"),
+        )
+    )
+
+
 LARGE_QTY_CUTOFF = 250  # HAVING SUM(l_quantity) > this (p99 at the sfs)
 Q18_ATTACH_GATE = 2_000_000  # orders rows: broadcast attach below, join above
 Q18_TOPK = 100
@@ -4589,6 +4682,34 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q22 shape (see idle_rich_customers_by_nation): the global
+# positive-balance average is never a float — both sides test
+# cents * n_pos > sum_pos with exact integers over the identical
+# FLOOR(x*100) quantization, so the knife-edge rows agree bit-exactly.
+SQL_ORACLES["idle_rich_customers_by_nation"] = f"""
+    WITH pos AS (
+        SELECT COUNT(*) AS n_pos,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT))
+                    AS BIGINT) AS sum_pos
+        FROM customer WHERE c_acctbal > 0.0
+    ), rich AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+        FROM customer, pos
+        WHERE CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) * pos.n_pos
+              > pos.sum_pos
+    )
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_acctbal_cents
+    FROM rich r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = r.c_custkey
+          AND o.o_totalprice > {Q22_BIG_ORDER_CUTOFF}
+    )
+    GROUP BY c_nationkey
+"""
+
 # TPC-H Q18 shape (see large_volume_orders): HAVING over the fact
 # self-aggregation, attach orders + customer, deterministic top-100
 # (o_orderkey breaks double ties). Quantities are integral doubles on
@@ -5433,6 +5554,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "order_price_rank_ties": order_price_rank_ties,
     "label_centroids": label_centroids,
     "large_volume_orders": large_volume_orders,
+    "idle_rich_customers_by_nation": idle_rich_customers_by_nation,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
