@@ -673,3 +673,45 @@ def test_large_volume_orders_join_path_matches_broadcast(ray_session):
         "c_name", "o_custkey", "o_orderkey", "o_orderdate",
         "o_totalprice", "sum_qty",
     ]
+
+
+def test_pct_rank_tie_semantics(ray_session, tmp_path):
+    """PERCENT_RANK/CUME_DIST on a hand-built heavy-ties table spanning
+    multiple sample-sort partitions: pct = (rank-1)/(n-1) of the tie
+    group's shared rank, cume = (rows <= value)/n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    prices = [10.0] * 5 + [20.0] * 4 + [30.0] * 4 + [40.0]
+    keys = list(range(1, 15))
+    perm = [3, 13, 7, 0, 10, 5, 1, 12, 8, 4, 11, 2, 9, 6]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([keys[i] for i in perm], pa.int64()),
+                "o_totalprice": pa.array(
+                    [prices[i] for i in perm], pa.float64()
+                ),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    got = (
+        q.order_price_pct_rank(str(d))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want_pct = {10.0: 0.0, 20.0: 5 / 13, 30.0: 9 / 13, 40.0: 13 / 13}
+    want_cume = {10.0: 5 / 14, 20.0: 9 / 14, 30.0: 13 / 14, 40.0: 1.0}
+    by_key = dict(zip(keys, prices))
+    assert got["pct_rank"].tolist() == [
+        want_pct[by_key[k]] for k in got["o_orderkey"]
+    ]
+    assert got["cume_dist"].tolist() == [
+        want_cume[by_key[k]] for k in got["o_orderkey"]
+    ]

@@ -3133,6 +3133,24 @@ def order_price_rank_ties(sf_dir: str) -> ray.data.Dataset:
     No arithmetic touches the float key — only comparisons/equality,
     which are bit-identical in numpy and SQL — so int64 outputs are
     hash-stable with no quantization."""
+    return _price_rank_sample_sort(sf_dir, "ranks")
+
+
+def order_price_pct_rank(sf_dir: str) -> ray.data.Dataset:
+    """Distributed PERCENT_RANK() and CUME_DIST() over the whole orders
+    table by price — the statistical-rank complement of
+    order_price_rank_ties, same three-pass sample-sort machinery.
+
+    Each float output is ONE IEEE double division of two exact int64s —
+    pct_rank = (rank-1)/(n-1) and cume_dist = rows_le/n, with rows_le =
+    rank_offset + searchsorted(side='right') (value-routed cuts keep a
+    tie group inside one partition, so the local right-insertion point
+    IS the global <=-count) — the identical integers SQL's window
+    definitions divide, so the doubles are bit-identical."""
+    return _price_rank_sample_sort(sf_dir, "stats")
+
+
+def _price_rank_sample_sort(sf_dir: str, mode: str) -> ray.data.Dataset:
     n = _table_rows(sf_dir, "orders")
     nparts = _window_nparts(n)
 
@@ -3221,7 +3239,25 @@ def order_price_rank_ties(sf_dir: str) -> ray.data.Dataset:
         price = t["price"].to_numpy()
         order = np.argsort(price, kind="stable")
         c = price[order]
-        rnk = roff[pid] + np.searchsorted(c, c, side="left") + 1
+        rnk = (roff[pid] + np.searchsorted(c, c, side="left") + 1).astype(
+            np.int64
+        )
+        if mode == "stats":
+            le = (roff[pid] + np.searchsorted(c, c, side="right")).astype(
+                np.int64
+            )
+            denom = np.float64(max(n - 1, 1))
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(key[order]),
+                    "pct_rank": pa.array(
+                        (rnk - 1).astype(np.float64) / denom
+                    ),
+                    "cume_dist": pa.array(
+                        le.astype(np.float64) / np.float64(n)
+                    ),
+                }
+            )
         first = np.ones(len(c), dtype=np.int64)
         if len(c) > 1:
             first[1:] = (c[1:] != c[:-1]).astype(np.int64)
@@ -3229,7 +3265,7 @@ def order_price_rank_ties(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "o_orderkey": pa.array(key[order]),
-                "rnk": pa.array(rnk.astype(np.int64)),
+                "rnk": pa.array(rnk),
                 "drnk": pa.array(drnk),
             }
         )
@@ -4658,6 +4694,16 @@ SQL_ORACLES["order_price_rank_ties"] = """
     FROM orders
 """
 
+# PERCENT_RANK/CUME_DIST (see order_price_pct_rank): SQL's definitions
+# divide the same exact integers ((rank-1)/(n-1), rows_le/n), so the
+# one IEEE double division per cell is bit-identical on both sides.
+SQL_ORACLES["order_price_pct_rank"] = """
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER (ORDER BY o_totalprice) AS pct_rank,
+           CUME_DIST() OVER (ORDER BY o_totalprice) AS cume_dist
+    FROM orders
+"""
+
 # Grouped vector-column aggregate over exact quantized component sums
 # (see label_centroids): DuckDB explodes the vector with ZIPPED unnests
 # (value + 1-based index — lateral generate_series can't take a column
@@ -5552,6 +5598,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "acctbal_band_counts": acctbal_band_counts,
     "global_price_rank": global_price_rank,
     "order_price_rank_ties": order_price_rank_ties,
+    "order_price_pct_rank": order_price_pct_rank,
     "label_centroids": label_centroids,
     "large_volume_orders": large_volume_orders,
     "idle_rich_customers_by_nation": idle_rich_customers_by_nation,
