@@ -3352,6 +3352,82 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+PROMO_MONTH_LO = "1995-09-01"  # Q14's one-month shipdate window
+PROMO_MONTH_HI = "1995-10-01"
+
+
+def promo_revenue_ratio(sf_dir: str) -> pa.Table:
+    """Conditional aggregate over a fact x dimension join reduced to a
+    global scalar (TPC-H Q14 shape): the share of one month's revenue
+    earned by PROMO-type parts.
+
+    Scale shape: the dimension side never joins at all — the PROMO
+    partkey set is a broadcast (ray.put once, pc.is_in probe per
+    batch), the shipdate window filters at the scan, and each batch
+    reduces to ONE (promo_cents, total_cents) int64 partial, so the
+    whole query moves O(batches) rows. Revenue is half-cents-floored
+    (the identical IEEE product + floor on both sides) so the integer
+    sums are order-independent; the headline ratio is the single float
+    expression 100.0 * (promo/total) over the two exact integers."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo_keys = part.filter(
+        pc.starts_with(part["p_type"], "PROMO")
+    )["p_partkey"].combine_chunks()
+    pref = ray.put(promo_keys)
+    lo = pa.scalar(pd.Timestamp(PROMO_MONTH_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(PROMO_MONTH_HI), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi),
+            )
+        )
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        is_promo = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(pref)), False
+        )
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "p": pa.array(
+                    [pc.sum(pc.if_else(is_promo, rev, zero)).as_py() or 0],
+                    pa.int64(),
+                ),
+                "t": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            _read(
+                sf_dir, "lineitem",
+                ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    p = pc.sum(parts["p"]).as_py() or 0
+    t = pc.sum(parts["t"]).as_py() or 0
+    ratio = 100.0 * (np.float64(p) / np.float64(t)) if t else None
+    return pa.table(
+        {
+            "promo_cents": pa.array([p], pa.int64()),
+            "total_cents": pa.array([t], pa.int64()),
+            "promo_revenue": pa.array([ratio], pa.float64()),
+        }
+    )
+
+
 Q22_BIG_ORDER_CUTOFF = 400_000.0  # "big order" bar for the Q22 shape
 
 
@@ -4728,6 +4804,27 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q14 shape (see promo_revenue_ratio): both sides floor the
+# identical IEEE revenue product to cents, sum exactly in integers,
+# and compute the headline ratio as the same 100.0 * (p/t) expression.
+SQL_ORACLES["promo_revenue_ratio"] = f"""
+    WITH m AS (
+        SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS rev,
+               p_type LIKE 'PROMO%' AS is_promo
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH_LO} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{PROMO_MONTH_HI} 00:00:00'
+    )
+    SELECT CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+               AS promo_cents,
+           CAST(SUM(rev) AS BIGINT) AS total_cents,
+           100.0 * (CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(SUM(rev) AS DOUBLE)) AS promo_revenue
+    FROM m
+"""
+
 # TPC-H Q22 shape (see idle_rich_customers_by_nation): the global
 # positive-balance average is never a float — both sides test
 # cents * n_pos > sum_pos with exact integers over the identical
@@ -5602,6 +5699,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "label_centroids": label_centroids,
     "large_volume_orders": large_volume_orders,
     "idle_rich_customers_by_nation": idle_rich_customers_by_nation,
+    "promo_revenue_ratio": promo_revenue_ratio,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
