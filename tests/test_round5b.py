@@ -715,3 +715,34 @@ def test_pct_rank_tie_semantics(ray_session, tmp_path):
     assert got["cume_dist"].tolist() == [
         want_cume[by_key[k]] for k in got["o_orderkey"]
     ]
+
+
+def test_cust_order_count_histogram_zero_bucket(ray_session, tmp_path):
+    """Customers with no orders must land in an explicit n_orders=0
+    bucket (the synthetic sf tables never exercise it: every customer
+    orders)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())}),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    got = {
+        r["n_orders"]: r["n_cust"]
+        for r in q.cust_order_count_histogram(str(d)).to_pylist()
+    }
+    assert got == {2: 1, 1: 1, 0: 3}

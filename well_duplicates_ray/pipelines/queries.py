@@ -3352,6 +3352,54 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def cust_order_count_histogram(sf_dir: str) -> pa.Table:
+    """Two-level aggregate with a zero-preserving outer join collapsed
+    to arithmetic (TPC-H Q13 shape): the distribution of customers by
+    how many orders they placed, INCLUDING the zero bucket.
+
+    Scale shape: the customer table is never joined — the only thing
+    the LEFT JOIN contributes is the zero bucket, whose size is exactly
+    |customer| - |distinct ordering custkeys|, so the fact side does
+    one groupby(custkey).count, the tiny (n_orders -> n_cust) histogram
+    reduces from a second small groupby, and the zero row is appended
+    from two driver integers. Output is dimension-sized (distinct order
+    counts), far below any materialization concern."""
+    parts = [
+        t for t in ray.get(
+            _read(sf_dir, "orders", ["o_custkey"])
+            .groupby("o_custkey")
+            .aggregate(Count(alias_name="n_orders"))
+            .groupby("n_orders")
+            .aggregate(Count(alias_name="n_cust"))
+            .to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if parts:
+        hist = pa.concat_tables(parts).combine_chunks()
+        n_with = pc.sum(hist["n_cust"]).as_py() or 0
+        out = pa.table(
+            {
+                "n_orders": pc.cast(hist["n_orders"], pa.int64()),
+                "n_cust": pc.cast(hist["n_cust"], pa.int64()),
+            }
+        )
+    else:
+        n_with = 0
+        out = pa.table(
+            {
+                "n_orders": pa.array([], pa.int64()),
+                "n_cust": pa.array([], pa.int64()),
+            }
+        )
+    n_zero = _table_rows(sf_dir, "customer") - n_with
+    if n_zero > 0:
+        out = pa.concat_tables(
+            [out, pa.table({"n_orders": pa.array([0], pa.int64()),
+                            "n_cust": pa.array([n_zero], pa.int64())})]
+        )
+    return out
+
+
 PROMO_MONTH_LO = "1995-09-01"  # Q14's one-month shipdate window
 PROMO_MONTH_HI = "1995-10-01"
 
@@ -4804,6 +4852,21 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q13 shape (see cust_order_count_histogram): the LEFT JOIN's
+# only contribution is the zero bucket, restated as COUNT(o_orderkey)
+# over the outer join on the SQL side and as |customer| - |ordering
+# custkeys| on the Ray side.
+SQL_ORACLES["cust_order_count_histogram"] = """
+    WITH c AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM c GROUP BY n_orders
+"""
+
 # TPC-H Q14 shape (see promo_revenue_ratio): both sides floor the
 # identical IEEE revenue product to cents, sum exactly in integers,
 # and compute the headline ratio as the same 100.0 * (p/t) expression.
@@ -5700,6 +5763,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "large_volume_orders": large_volume_orders,
     "idle_rich_customers_by_nation": idle_rich_customers_by_nation,
     "promo_revenue_ratio": promo_revenue_ratio,
+    "cust_order_count_histogram": cust_order_count_histogram,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
