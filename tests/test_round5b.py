@@ -746,3 +746,20 @@ def test_cust_order_count_histogram_zero_bucket(ray_session, tmp_path):
         for r in q.cust_order_count_histogram(str(d)).to_pylist()
     }
     assert got == {2: 1, 1: 1, 0: 3}
+
+
+def test_late_ship_join_path_matches_broadcast(ray_session):
+    """The above-gate hash-join path must produce the identical grouped
+    counts as the broadcast index_in attach."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(q.late_ship_priority_counts(SF_DIR))
+    assert len(base) > 0 and base["n_orders"].sum() > 0
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(q, "Q4_ATTACH_GATE", 0)
+        joined = _sorted_df(q.late_ship_priority_counts(SF_DIR))
+    finally:
+        mp.undo()
+    pd.testing.assert_frame_equal(base, joined)

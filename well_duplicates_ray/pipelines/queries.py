@@ -3352,6 +3352,80 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+LATE_SHIP_DAYS = 90  # Q4 shape: a line shipped > this many days after order
+Q4_ATTACH_GATE = 2_000_000  # orders rows: broadcast attach below, join above
+
+
+def late_ship_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """Correlated EXISTS with a cross-table predicate, grouped (TPC-H
+    Q4 shape): orders having at least one lineitem shipped more than
+    LATE_SHIP_DAYS after the order date, counted per priority.
+
+    The EXISTS collapses to an aggregate: ANY(l_shipdate > cutoff) per
+    order IS max(l_shipdate) > cutoff, so lineitem reduces to ONE
+    (orderkey, max_ship) row per order in a distributed groupby before
+    anything joins — the join then moves one row per order, keyed on
+    the SAME orderkey the groupby already partitioned by. Below the
+    gate the max-table is broadcast and orders rows attach with
+    index_in/take (also sidesteps Ray's hash-join finalize failure on
+    all-empty partitions at tiny inputs); above it is a hash shuffle
+    join. The date comparison is pure int64 microseconds (+90 days =
+    +7.776e12 us exactly) — no float anywhere."""
+    mx = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .groupby("l_orderkey")
+        .aggregate(Max("l_shipdate", alias_name="max_ship"))
+    )
+    delta_us = np.int64(LATE_SHIP_DAYS) * 86_400 * 1_000_000
+    ocols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+
+    def late_filter(t: pa.Table) -> pa.Table:
+        # Ray's Max can downcast timestamp[us] -> timestamp[s]; pin both
+        # sides to us before viewing as int64 or the units diverge.
+        od = (
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ms = (
+            t["max_ship"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = ms > od + delta_us
+        return t.select(["o_orderpriority"]).filter(pa.array(keep))
+
+    if _table_rows(sf_dir, "orders") <= Q4_ATTACH_GATE:
+        mt = pa.concat_tables(
+            [t for t in ray.get(mx.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        mref = ray.put(mt)
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = ray.get(mref)
+            pos = pc.index_in(
+                t["o_orderkey"], value_set=m["l_orderkey"].combine_chunks()
+            )
+            out = t.append_column("max_ship", m["max_ship"].take(pos))
+            return late_filter(out.filter(pc.is_valid(out["max_ship"])))
+
+        late = _read(sf_dir, "orders", ocols).map_batches(
+            attach, batch_format="pyarrow"
+        )
+    else:
+        late = (
+            mx.rename_columns({"l_orderkey": "o_orderkey"})
+            .join(
+                _read(sf_dir, "orders", ocols),
+                "inner",
+                _window_nparts(_table_rows(sf_dir, "orders")),
+                on=("o_orderkey",),
+            )
+            .map_batches(late_filter, batch_format="pyarrow")
+        )
+    return late.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders")
+    )
+
+
 def cust_order_count_histogram(sf_dir: str) -> pa.Table:
     """Two-level aggregate with a zero-preserving outer join collapsed
     to arithmetic (TPC-H Q13 shape): the distribution of customers by
@@ -4852,6 +4926,21 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q4 shape (see late_ship_priority_counts): EXISTS(any line
+# shipped > 90 days after order) == max(l_shipdate) > o_orderdate +
+# 90 days; the comparison is exact integer microseconds on both sides.
+SQL_ORACLES["late_ship_priority_counts"] = f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+                             + INTERVAL {LATE_SHIP_DAYS} DAY
+    )
+    GROUP BY o_orderpriority
+"""
+
 # TPC-H Q13 shape (see cust_order_count_histogram): the LEFT JOIN's
 # only contribution is the zero bucket, restated as COUNT(o_orderkey)
 # over the outer join on the SQL side and as |customer| - |ordering
@@ -5764,6 +5853,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "idle_rich_customers_by_nation": idle_rich_customers_by_nation,
     "promo_revenue_ratio": promo_revenue_ratio,
     "cust_order_count_histogram": cust_order_count_histogram,
+    "late_ship_priority_counts": late_ship_priority_counts,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
