@@ -763,3 +763,20 @@ def test_late_ship_join_path_matches_broadcast(ray_session):
     finally:
         mp.undo()
     pd.testing.assert_frame_equal(base, joined)
+
+
+def test_returned_customer_topk_join_path_matches_broadcast(ray_session):
+    """The above-gate hash-join path must produce the identical top-20
+    table as the broadcast window-orders attach."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(q.returned_customer_topk(SF_DIR))
+    assert len(base) > 0
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(q, "Q10_ATTACH_GATE", 0)
+        joined = _sorted_df(q.returned_customer_topk(SF_DIR))
+    finally:
+        mp.undo()
+    pd.testing.assert_frame_equal(base, joined)

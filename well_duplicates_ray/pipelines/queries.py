@@ -3352,6 +3352,206 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q6_YEAR_LO = "1996-01-01"  # Q6's one-year shipdate window
+Q6_YEAR_HI = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24.0
+
+
+def forecast_revenue_change(sf_dir: str) -> pa.Table:
+    """Filtered global scalar aggregate (TPC-H Q6 shape): the revenue
+    that would vanish if small-quantity discounts in one year were
+    dropped — SUM(l_extendedprice * l_discount) over a triple
+    predicate.
+
+    Scale shape: pure scan — every batch reduces to ONE int64 partial
+    (discount revenue floored to cents, the identical IEEE product +
+    floor on both sides), no shuffle, no join; the predicate literals
+    are the same doubles in numpy and SQL so boundary rows agree."""
+    lo = pa.scalar(pd.Timestamp(Q6_YEAR_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q6_YEAR_HI), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"],
+                                     pa.scalar(Q6_DISC_LO)),
+                    pc.less_equal(t["l_discount"], pa.scalar(Q6_DISC_HI)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(Q6_QTY_MAX)),
+            ),
+        )
+        t = t.filter(keep)
+        rev = _cents(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table(
+            {"c": pa.array([pc.sum(rev).as_py() or 0], pa.int64())}
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            _read(
+                sf_dir, "lineitem",
+                ["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    cents = pc.sum(parts["c"]).as_py() or 0
+    return pa.table(
+        {
+            "revenue_cents": pa.array([cents], pa.int64()),
+            "revenue": pa.array([np.float64(cents) / 100.0], pa.float64()),
+        }
+    )
+
+
+Q10_WINDOW_LO = "1996-01-01"  # Q10's three-month orderdate window
+Q10_WINDOW_HI = "1996-04-01"
+Q10_TOPK = 20
+Q10_ATTACH_GATE = 2_000_000  # orders rows: broadcast window below, join above
+
+
+def returned_customer_topk(sf_dir: str) -> pa.Table:
+    """Returned-item revenue top-k per customer (TPC-H Q10 shape): the
+    20 customers who returned the most revenue in one quarter, with
+    name, balance and nation attached.
+
+    Scale shape: lineitem is filtered to returnflag='R' at the scan and
+    floored to exact revenue cents per batch; the quarter's orders map
+    (orderkey -> custkey, ~4% of orders) is broadcast below the gate /
+    hash-joined above; revenue aggregates per CUSTOMER in a distributed
+    groupby BEFORE the top-k, and the <=20 survivors attach their
+    dimension columns last (a filtered customer scan + the tiny nation
+    table), so neither dimension is ever shuffled. Ties break on
+    c_custkey deterministically."""
+    lo = pa.scalar(pd.Timestamp(Q10_WINDOW_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q10_WINDOW_HI), pa.timestamp("us"))
+
+    def rev_r(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "rev": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(rev_r, batch_format="pyarrow")
+
+    def win_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi),
+        )
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    if _table_rows(sf_dir, "orders") <= Q10_ATTACH_GATE:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        ot = win_orders(ot)
+        oref = ray.put(ot.combine_chunks())
+
+        def attach(t: pa.Table) -> pa.Table:
+            o = ray.get(oref)
+            pos = pc.index_in(
+                t["o_orderkey"], value_set=o["o_orderkey"].combine_chunks()
+            )
+            out = pa.table(
+                {"c_custkey": o["o_custkey"].take(pos), "rev": t["rev"]}
+            )
+            return out.filter(pc.is_valid(out["c_custkey"]))
+
+        per_cust = li.map_batches(attach, batch_format="pyarrow")
+    else:
+        orders = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(win_orders, batch_format="pyarrow")
+        per_cust = (
+            li.join(
+                orders, "inner",
+                _window_nparts(_table_rows(sf_dir, "orders")),
+                on=("o_orderkey",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"c_custkey": t["o_custkey"], "rev": t["rev"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    top = pa.concat_tables(
+        ray.get(
+            per_cust.groupby("c_custkey")
+            .aggregate(Sum("rev", alias_name="revenue_cents"))
+            .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+            .limit(Q10_TOPK)
+            .to_arrow_refs()
+        )
+    ).combine_chunks()
+    if len(top) == 0:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "c_acctbal": pa.array([], pa.float64()),
+                "n_name": pa.array([], pa.string()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+
+    ckref = ray.put(pc.unique(top["c_custkey"]))
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(ckref)
+        return t.filter(
+            pc.fill_null(pc.is_in(t["c_custkey"], value_set=ks), False)
+        )
+
+    cust = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+            .map_batches(cust_filter, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    ).combine_chunks()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).combine_chunks()
+    cpos = pc.index_in(top["c_custkey"], value_set=cust["c_custkey"])
+    npos = pc.index_in(
+        cust["c_nationkey"].take(cpos), value_set=nat["n_nationkey"]
+    )
+    return pa.table(
+        {
+            "c_custkey": top["c_custkey"],
+            "c_name": cust["c_name"].take(cpos),
+            "c_acctbal": cust["c_acctbal"].take(cpos),
+            "n_name": nat["n_name"].take(npos),
+            "revenue_cents": top["revenue_cents"],
+        }
+    )
+
+
 LATE_SHIP_DAYS = 90  # Q4 shape: a line shipped > this many days after order
 Q4_ATTACH_GATE = 2_000_000  # orders rows: broadcast attach below, join above
 
@@ -4926,6 +5126,45 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q6 shape (see forecast_revenue_change): both sides floor the
+# identical IEEE l_extendedprice * l_discount product to cents; the
+# predicate literals are the same doubles in numpy and SQL.
+SQL_ORACLES["forecast_revenue_change"] = f"""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q6_YEAR_HI} 00:00:00'
+      AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY_MAX}
+"""
+
+# TPC-H Q10 shape (see returned_customer_topk): returned-line revenue
+# floored to exact cents, grouped per customer, deterministic top-20
+# (c_custkey breaks ties), dimensions attached after the limit.
+SQL_ORACLES["returned_customer_topk"] = f"""
+    WITH r AS (
+        SELECT o.o_custkey AS c_custkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{Q10_WINDOW_LO} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{Q10_WINDOW_HI} 00:00:00'
+        GROUP BY o.o_custkey
+    )
+    SELECT r.c_custkey, c.c_name, c.c_acctbal, n.n_name, r.revenue_cents
+    FROM r
+    JOIN customer c ON c.c_custkey = r.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY r.revenue_cents DESC, r.c_custkey
+    LIMIT {Q10_TOPK}
+"""
+
 # TPC-H Q4 shape (see late_ship_priority_counts): EXISTS(any line
 # shipped > 90 days after order) == max(l_shipdate) > o_orderdate +
 # 90 days; the comparison is exact integer microseconds on both sides.
@@ -5854,6 +6093,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "promo_revenue_ratio": promo_revenue_ratio,
     "cust_order_count_histogram": cust_order_count_histogram,
     "late_ship_priority_counts": late_ship_priority_counts,
+    "forecast_revenue_change": forecast_revenue_change,
+    "returned_customer_topk": returned_customer_topk,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
