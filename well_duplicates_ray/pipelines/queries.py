@@ -3352,6 +3352,133 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q7_SHIP_LO = "1995-01-01"  # Q7's two-year shipdate window
+Q7_SHIP_HI = "1997-01-01"
+Q7_CUST_GATE = 2_000_000  # customer rows: broadcast nation map below
+
+
+def nation_trade_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Supplier-nation x customer-nation revenue matrix per ship year
+    (TPC-H Q7 shape, generalized to every nation pair): two dimension
+    chains hang off the SAME fact scan.
+
+    Scale shape: the supplier -> nationkey map is dimension-sized and
+    broadcast (ray.put once, int64 index_in per batch). The customer ->
+    nationkey map is the BIG dimension: below the gate it broadcasts
+    too; above it the custkey attach becomes a hash shuffle join while
+    everything else is unchanged. The order -> custkey hop rides the
+    one real fact-fact join (orderkey-keyed, revenue already reduced
+    to exact cents per line). Ship year is integer EXTRACT on both
+    sides; revenue sums are half-cents-floored int64."""
+    lo = pa.scalar(pd.Timestamp(Q7_SHIP_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q7_SHIP_HI), pa.timestamp("us"))
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).combine_chunks()
+    sref = ray.put(sup)
+
+    def li_stage(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo),
+            pc.less(t["l_shipdate"], hi),
+        )
+        t = t.filter(keep)
+        s = ray.get(sref)
+        spos = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "supp_nation": pc.cast(
+                    s["s_nationkey"].take(spos), pa.int64()
+                ),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_stage, batch_format="pyarrow")
+
+    # orders: orderkey -> custkey (fact-sized; broadcast below the
+    # orders gate, the G14 idiom, hash join above)
+    if _table_rows(sf_dir, "orders") <= Q10_ATTACH_GATE:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).combine_chunks()
+        oref = ray.put(ot)
+
+        def cust_attach(t: pa.Table) -> pa.Table:
+            o = ray.get(oref)
+            pos = pc.index_in(
+                t["o_orderkey"], value_set=o["o_orderkey"]
+            )
+            return t.append_column("o_custkey", o["o_custkey"].take(pos))
+
+        li = li.map_batches(cust_attach, batch_format="pyarrow")
+    else:
+        li = li.join(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            "inner",
+            _window_nparts(_table_rows(sf_dir, "orders")),
+            on=("o_orderkey",),
+        )
+
+    # customer: custkey -> nationkey (big dimension; size-gated)
+    if _table_rows(sf_dir, "customer") <= Q7_CUST_GATE:
+        ct = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ).combine_chunks()
+        cref = ray.put(ct)
+
+        def nat_attach(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            pos = pc.index_in(t["o_custkey"], value_set=c["c_custkey"])
+            out = t.append_column(
+                "cust_nation", pc.cast(c["c_nationkey"].take(pos),
+                                       pa.int64())
+            )
+            return out.select(
+                ["supp_nation", "cust_nation", "l_year", "rev"]
+            )
+
+        staged = li.map_batches(nat_attach, batch_format="pyarrow")
+    else:
+        staged = (
+            li.rename_columns({"o_custkey": "c_custkey"})
+            .join(
+                _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                "inner",
+                _window_nparts(_table_rows(sf_dir, "customer")),
+                on=("c_custkey",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "supp_nation": t["supp_nation"],
+                        "cust_nation": pc.cast(t["c_nationkey"],
+                                               pa.int64()),
+                        "l_year": t["l_year"],
+                        "rev": t["rev"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    return staged.groupby(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).aggregate(Sum("rev", alias_name="revenue_cents"))
+
+
 Q6_YEAR_LO = "1996-01-01"  # Q6's one-year shipdate window
 Q6_YEAR_HI = "1997-01-01"
 Q6_DISC_LO = 0.05
@@ -5126,6 +5253,25 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q7 shape (see nation_trade_matrix): the identical IEEE revenue
+# product floored to cents, integer year extraction, nationkeys kept
+# as int64 on both sides.
+SQL_ORACLES["nation_trade_matrix"] = f"""
+    SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+           CAST(c.c_nationkey AS BIGINT) AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                               * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q7_SHIP_LO} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{Q7_SHIP_HI} 00:00:00'
+    GROUP BY 1, 2, 3
+"""
+
 # TPC-H Q6 shape (see forecast_revenue_change): both sides floor the
 # identical IEEE l_extendedprice * l_discount product to cents; the
 # predicate literals are the same doubles in numpy and SQL.
@@ -6095,6 +6241,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "late_ship_priority_counts": late_ship_priority_counts,
     "forecast_revenue_change": forecast_revenue_change,
     "returned_customer_topk": returned_customer_topk,
+    "nation_trade_matrix": nation_trade_matrix,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
