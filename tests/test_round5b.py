@@ -798,3 +798,21 @@ def test_nation_trade_matrix_join_paths_match_broadcast(ray_session):
     finally:
         mp.undo()
     pd.testing.assert_frame_equal(base, joined)
+
+
+def test_nation_market_share_join_paths_match_broadcast(ray_session):
+    """Forcing the orders attach to a hash join and the region filter
+    to a custkey semi-join must reproduce the broadcast result."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(q.nation_market_share(SF_DIR))
+    assert len(base) > 0
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(q, "Q10_ATTACH_GATE", 0)
+        mp.setattr(q, "Q7_CUST_GATE", 0)
+        joined = _sorted_df(q.nation_market_share(SF_DIR))
+    finally:
+        mp.undo()
+    pd.testing.assert_frame_equal(base, joined)

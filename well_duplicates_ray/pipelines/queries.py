@@ -3352,6 +3352,185 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q8_ORDER_LO = "1995-01-01"  # Q8's two-year orderdate window
+Q8_ORDER_HI = "1997-01-01"
+Q8_REGION = 0  # customer region under study
+Q8_NATION = 3  # supplier nation whose market share is measured
+
+
+def nation_market_share(sf_dir: str) -> ray.data.Dataset:
+    """Per-year market share of one supplier nation inside one customer
+    region (TPC-H Q8 shape): a conditional aggregate over a snowflake
+    whose two dimension chains collapse to broadcasts.
+
+    Scale shape: nation x region collapse to a nationkey set (driver,
+    dimension-sized); customer collapses to the region's custkey set
+    (size-gated broadcast below Q7_CUST_GATE / semi-join above — at
+    this sf the set broadcasts); supplier collapses to an is-nation-X
+    suppkey set. The fact scan attaches (custkey, year) through the
+    orders map (the G14 size-gate), filters to the region, and each
+    batch emits per-year (nation_cents, total_cents) int64 partials —
+    the groupby moves O(batches x years) rows. The share is ONE float
+    division of the two exact integers per year."""
+    lo = pa.scalar(pd.Timestamp(Q8_ORDER_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q8_ORDER_HI), pa.timestamp("us"))
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region_nations = nat.filter(
+        pc.equal(nat["n_regionkey"], Q8_REGION)
+    )["n_nationkey"].combine_chunks()
+
+    cust_below_gate = _table_rows(sf_dir, "customer") <= Q7_CUST_GATE
+    if cust_below_gate:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+        region_cust = cust.filter(
+            pc.fill_null(pc.is_in(cust["c_nationkey"],
+                                  value_set=region_nations), False)
+        )["c_custkey"].combine_chunks()
+        cref = ray.put(region_cust)
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    x_supp = sup.filter(
+        pc.equal(sup["s_nationkey"], Q8_NATION)
+    )["s_suppkey"].combine_chunks()
+    xref = ray.put(x_supp)
+
+    def li_stage(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "rev": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+                "is_x": pc.fill_null(
+                    pc.is_in(t["l_suppkey"], value_set=ray.get(xref)),
+                    False,
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_stage, batch_format="pyarrow")
+
+    def win_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    if _table_rows(sf_dir, "orders") <= Q10_ATTACH_GATE:
+        ot = win_orders(
+            pq.read_table(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            )
+        ).combine_chunks()
+        oref = ray.put(ot)
+
+        def attach(t: pa.Table) -> pa.Table:
+            o = ray.get(oref)
+            pos = pc.index_in(t["o_orderkey"], value_set=o["o_orderkey"])
+            out = pa.table(
+                {
+                    "o_year": o["o_year"].take(pos),
+                    "o_custkey": o["o_custkey"].take(pos),
+                    "rev": t["rev"],
+                    "is_x": t["is_x"],
+                }
+            )
+            return out.filter(pc.is_valid(out["o_custkey"]))
+
+        staged = li.map_batches(attach, batch_format="pyarrow")
+    else:
+        staged = li.join(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(win_orders, batch_format="pyarrow"),
+            "inner",
+            _window_nparts(_table_rows(sf_dir, "orders")),
+            on=("o_orderkey",),
+        )
+
+    if not cust_below_gate:
+        # above the gate the region filter is a custkey-keyed semi-join
+        # against the region's customers (only unique keys shuffle)
+        nref = ray.put(region_nations)
+
+        def region_keys(t: pa.Table) -> pa.Table:
+            keep = pc.fill_null(
+                pc.is_in(t["c_nationkey"], value_set=ray.get(nref)), False
+            )
+            return t.filter(keep).select(["c_custkey"])
+
+        staged = staged.rename_columns(
+            {"o_custkey": "c_custkey"}
+        ).join(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(region_keys, batch_format="pyarrow"),
+            "left_semi",
+            _window_nparts(_table_rows(sf_dir, "customer")),
+            on=("c_custkey",),
+        ).rename_columns({"c_custkey": "o_custkey"})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if cust_below_gate:
+            keep = pc.fill_null(
+                pc.is_in(t["o_custkey"], value_set=ray.get(cref)), False
+            )
+            t2 = t.filter(keep)
+        else:
+            t2 = t
+        g = (
+            pa.table(
+                {
+                    "o_year": t2["o_year"],
+                    "nation_cents": pc.if_else(
+                        t2["is_x"], t2["rev"], pa.scalar(0, pa.int64())
+                    ),
+                    "total_cents": t2["rev"],
+                }
+            )
+            .group_by("o_year")
+            .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
+        )
+        return g.rename_columns(["o_year", "nation_cents", "total_cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["nation_cents"].to_numpy().astype(np.float64)
+        d = t["total_cents"].to_numpy().astype(np.float64)
+        return t.append_column("mkt_share", pa.array(n / d))
+
+    return (
+        staged.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_cents", alias_name="nation_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 Q7_SHIP_LO = "1995-01-01"  # Q7's two-year shipdate window
 Q7_SHIP_HI = "1997-01-01"
 Q7_CUST_GATE = 2_000_000  # customer rows: broadcast nation map below
@@ -5253,6 +5432,32 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q8 shape (see nation_market_share): per-year conditional cents
+# sums, share = ONE double division of the two exact integers.
+SQL_ORACLES["nation_market_share"] = f"""
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS rev,
+               s.s_nationkey = {Q8_NATION} AS is_x
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE n.n_regionkey = {Q8_REGION}
+          AND o.o_orderdate >= TIMESTAMP '{Q8_ORDER_LO} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{Q8_ORDER_HI} 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN is_x THEN rev ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+           CAST(SUM(rev) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN is_x THEN rev ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM m GROUP BY o_year
+"""
+
 # TPC-H Q7 shape (see nation_trade_matrix): the identical IEEE revenue
 # product floored to cents, integer year extraction, nationkeys kept
 # as int64 on both sides.
@@ -6242,6 +6447,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "forecast_revenue_change": forecast_revenue_change,
     "returned_customer_topk": returned_customer_topk,
     "nation_trade_matrix": nation_trade_matrix,
+    "nation_market_share": nation_market_share,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
