@@ -3352,6 +3352,77 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q9_NAME_PATTERN = "red"  # Q9 shape: parts whose name contains this
+
+
+def red_part_profit(sf_dir: str) -> ray.data.Dataset:
+    """Profit by supplier nation and ship year for one part family
+    (TPC-H Q9 shape; the synthetic schema has no partsupp, so
+    p_retailprice x quantity is the cost proxy): profit_cents =
+    floor(extprice x (1-disc) x 100) - floor(retailprice x qty x 100).
+
+    Scale shape: NO join at all — the pattern-matched part family
+    (partkey -> retailprice, a filtered dimension) and the supplier ->
+    nationkey map are each one broadcast; every batch attaches both
+    with vectorized index_in/take, computes exact per-line profit
+    cents, and pre-aggregates to |nations x years| partial rows, so
+    the global groupby moves O(batches x groups) rows."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+    names = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )["p_name"]
+    fam = part.filter(
+        pc.match_substring(names, Q9_NAME_PATTERN)
+    ).combine_chunks()
+    famref = ray.put(fam)
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).combine_chunks()
+    sref = ray.put(sup)
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = ray.get(famref)
+        pos = pc.index_in(t["l_partkey"], value_set=f["p_partkey"])
+        t = t.append_column("retail", f["p_retailprice"].take(pos))
+        t = t.filter(pc.is_valid(t["retail"]))
+        s = ray.get(sref)
+        spos = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        cost = _cents(pc.multiply(t["retail"], t["l_quantity"]))
+        g = (
+            pa.table(
+                {
+                    "supp_nation": pc.cast(
+                        s["s_nationkey"].take(spos), pa.int64()
+                    ),
+                    "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                    "profit_cents": pc.subtract(rev, cost),
+                }
+            )
+            .group_by(["supp_nation", "l_year"])
+            .aggregate([("profit_cents", "sum")])
+        )
+        return g.rename_columns(["supp_nation", "l_year", "profit_cents"])
+
+    return (
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "l_year"])
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+    )
+
+
 Q8_ORDER_LO = "1995-01-01"  # Q8's two-year orderdate window
 Q8_ORDER_HI = "1997-01-01"
 Q8_REGION = 0  # customer region under study
@@ -5432,6 +5503,22 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q9 shape (see red_part_profit): both revenue and cost floored
+# to cents with the identical IEEE products; profit summed exactly.
+SQL_ORACLES["red_part_profit"] = f"""
+    SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                               * (1 - l.l_discount) * 100) AS BIGINT)
+                    - CAST(FLOOR(p.p_retailprice * l.l_quantity * 100)
+                           AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_name LIKE '%{Q9_NAME_PATTERN}%'
+    GROUP BY 1, 2
+"""
+
 # TPC-H Q8 shape (see nation_market_share): per-year conditional cents
 # sums, share = ONE double division of the two exact integers.
 SQL_ORACLES["nation_market_share"] = f"""
@@ -6448,6 +6535,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "returned_customer_topk": returned_customer_topk,
     "nation_trade_matrix": nation_trade_matrix,
     "nation_market_share": nation_market_share,
+    "red_part_profit": red_part_profit,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
