@@ -3352,6 +3352,101 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q17_BRAND = "Brand#13"  # Q17 shape: the brand under study
+
+
+def small_qty_brand_revenue(sf_dir: str) -> pa.Table:
+    """Per-group correlated scalar subquery (TPC-H Q17 shape): revenue
+    lost if one brand's orders below 20% of that part's average
+    quantity were no longer taken.
+
+    The 0.2 x AVG threshold never becomes a float: quantities are
+    integral, so `qty < 0.2 * (sum/n)` is tested as the exact integer
+    cross-multiply `5 * qty * n < sum` on both sides — knife-edge lines
+    agree bit-exactly. Scale shape: the brand's partkeys broadcast
+    once; pass 1 reduces the brand's lines to one (partkey, n, sum_qty)
+    row per part (distributed groupby, brand-dimension-sized result,
+    then broadcast); pass 2 re-scans, attaches the stats with
+    index_in/take and reduces each batch to ONE int64 cents partial.
+    The headline average is the single expression cents/700.0."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brand_keys = part.filter(
+        pc.equal(part["p_brand"], Q17_BRAND)
+    )["p_partkey"].combine_chunks()
+    bref = ray.put(brand_keys)
+
+    def brand_lines(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(bref)), False
+        )
+        return t.filter(keep)
+
+    def qty_stage(t: pa.Table) -> pa.Table:
+        t = brand_lines(t)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    stats = pa.concat_tables(
+        [
+            t for t in ray.get(
+                _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+                .map_batches(qty_stage, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(
+                    Count(alias_name="n"),
+                    Sum("qty", alias_name="s"),
+                )
+                .to_arrow_refs()
+            ) if t.num_rows
+        ]
+    ).combine_chunks() if len(brand_keys) else pa.table(
+        {"l_partkey": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+    )
+    stref = ray.put(stats)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = brand_lines(t)
+        st = ray.get(stref)
+        pos = pc.index_in(t["l_partkey"], value_set=st["l_partkey"])
+        n = st["n"].take(pos).to_numpy(zero_copy_only=False)
+        s = st["s"].take(pos).to_numpy(zero_copy_only=False)
+        qty = pc.cast(t["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = 5 * qty * n < s
+        cents = _cents(t["l_extendedprice"]).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"c": pa.array([int(cents[keep].sum())], pa.int64())}
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    cents = pc.sum(parts["c"]).as_py() or 0
+    return pa.table(
+        {
+            "revenue_cents": pa.array([cents], pa.int64()),
+            "avg_yearly": pa.array(
+                [np.float64(cents) / 700.0], pa.float64()
+            ),
+        }
+    )
+
+
 Q9_NAME_PATTERN = "red"  # Q9 shape: parts whose name contains this
 
 
@@ -5503,6 +5598,25 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q17 shape (see small_qty_brand_revenue): the 0.2*AVG threshold
+# is the exact integer cross-multiply 5*qty*n < sum on both sides.
+SQL_ORACLES["small_qty_brand_revenue"] = f"""
+    WITH st AS (
+        SELECT l_partkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '{Q17_BRAND}'
+        GROUP BY l_partkey
+    ), q AS (
+        SELECT CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.s
+    )
+    SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents,
+           CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 700.0 AS avg_yearly
+    FROM q
+"""
+
 # TPC-H Q9 shape (see red_part_profit): both revenue and cost floored
 # to cents with the identical IEEE products; profit summed exactly.
 SQL_ORACLES["red_part_profit"] = f"""
@@ -6536,6 +6650,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "nation_trade_matrix": nation_trade_matrix,
     "nation_market_share": nation_market_share,
     "red_part_profit": red_part_profit,
+    "small_qty_brand_revenue": small_qty_brand_revenue,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
