@@ -816,3 +816,52 @@ def test_nation_market_share_join_paths_match_broadcast(ray_session):
     finally:
         mp.undo()
     pd.testing.assert_frame_equal(base, joined)
+
+
+def test_top_supplier_revenue_returns_all_ties(ray_session, tmp_path):
+    """Q15's argmax must return EVERY tied winner (sf data has a unique
+    max, so ties are pinned on a hand-built table: suppliers 1 and 2
+    gross identical cents inside the quarter; 3 trails; 4 ships only
+    outside the window)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    import pandas as _pd
+
+    ts = pa.array(
+        [_pd.Timestamp(x) for x in
+         ["1996-02-01", "1996-02-02", "1996-03-01", "1996-02-10",
+          "1999-01-01"]],
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                "l_shipdate": ts,
+                "l_extendedprice": pa.array(
+                    [200.0, 150.0, 50.0, 60.0, 999.0], pa.float64()
+                ),
+                "l_discount": pa.array([0.0] * 5, pa.float64()),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "s_name": pa.array(
+                    ["s1", "s2", "s3", "s4"], pa.string()
+                ),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+    got = q.top_supplier_revenue(str(d)).to_pylist()
+    assert sorted((r["s_suppkey"], r["total_revenue_cents"]) for r in got) \
+        == [(1, 20000), (2, 20000)]

@@ -3352,6 +3352,150 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q15_QUARTER_LO = "1996-01-01"  # Q15's one-quarter shipdate window
+Q15_QUARTER_HI = "1996-04-01"
+
+
+def top_supplier_revenue(sf_dir: str) -> pa.Table:
+    """Aggregate-then-argmax-with-ties (TPC-H Q15 shape): the
+    supplier(s) with the maximum revenue in one quarter — EVERY tied
+    supplier is returned, which is why this is not a sort+limit.
+
+    Scale shape: lineitem reduces to one (suppkey, revenue_cents) row
+    per supplier in a distributed groupby over exact cents; the global
+    max is one tiny reduction over that supplier-dimension-sized table,
+    and the equality filter + name attach touch only the winners. No
+    float ever enters the comparison, so ties are bit-deterministic."""
+    lo = pa.scalar(pd.Timestamp(Q15_QUARTER_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q15_QUARTER_HI), pa.timestamp("us"))
+
+    def rev_stage(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo),
+            pc.less(t["l_shipdate"], hi),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "s_suppkey": t["l_suppkey"],
+                "rev": _cents(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    )
+                ),
+            }
+        )
+
+    per_supp = pa.concat_tables(
+        [
+            t for t in ray.get(
+                _read(sf_dir, "lineitem",
+                      ["l_suppkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+                .map_batches(rev_stage, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("rev", alias_name="total_revenue_cents"))
+                .to_arrow_refs()
+            ) if t.num_rows
+        ]
+    ).combine_chunks()
+    if len(per_supp) == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    mx = pc.max(per_supp["total_revenue_cents"])
+    winners = per_supp.filter(
+        pc.equal(per_supp["total_revenue_cents"], mx)
+    )
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).combine_chunks()
+    pos = pc.index_in(winners["s_suppkey"], value_set=sup["s_suppkey"])
+    return pa.table(
+        {
+            "s_suppkey": winners["s_suppkey"],
+            "s_name": sup["s_name"].take(pos),
+            "total_revenue_cents": winners["total_revenue_cents"],
+        }
+    )
+
+
+Q19_CASES = (  # Q19 shape: disjunctive (brand, qty-range) cases
+    ("Brand#13", 1.0, 11.0),
+    ("Brand#21", 10.0, 20.0),
+    ("Brand#5", 20.0, 30.0),
+)
+
+
+def disjunctive_brand_revenue(sf_dir: str) -> pa.Table:
+    """Disjunctive multi-predicate join revenue (TPC-H Q19 shape):
+    revenue of lines matching ANY of three (brand, quantity-range)
+    cases — the OR-of-ANDs predicate that defeats naive pushdown.
+
+    Scale shape: each case's partkey set is dimension-sized and
+    broadcast once; every batch builds the OR mask vectorized (three
+    is_in probes + range tests) and reduces to ONE int64 cents
+    partial — no join, no shuffle."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    keysets = [
+        part.filter(pc.equal(part["p_brand"], b))["p_partkey"]
+        .combine_chunks()
+        for b, _, _ in Q19_CASES
+    ]
+    krefs = [ray.put(k) for k in keysets]
+    ranges = [(lo, hi) for _, lo, hi in Q19_CASES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"]
+        mask = None
+        for kref, (qlo, qhi) in zip(krefs, ranges):
+            m = pc.and_(
+                pc.fill_null(
+                    pc.is_in(t["l_partkey"], value_set=ray.get(kref)),
+                    False,
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, pa.scalar(qlo)),
+                    pc.less_equal(qty, pa.scalar(qhi)),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        t = t.filter(mask)
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+        )
+        return pa.table(
+            {"c": pa.array([pc.sum(rev).as_py() or 0], pa.int64())}
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    cents = pc.sum(parts["c"]).as_py() or 0
+    return pa.table(
+        {
+            "revenue_cents": pa.array([cents], pa.int64()),
+            "revenue": pa.array([np.float64(cents) / 100.0], pa.float64()),
+        }
+    )
+
+
 Q17_BRAND = "Brand#13"  # Q17 shape: the brand under study
 
 
@@ -5598,6 +5742,43 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q15 shape (see top_supplier_revenue): argmax WITH ties over
+# exact integer revenue — the correlated "= (SELECT MAX(...))".
+SQL_ORACLES["top_supplier_revenue"] = f"""
+    WITH r AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_QUARTER_LO} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{Q15_QUARTER_HI} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT r.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+    WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents)
+                                   FROM r)
+"""
+
+_Q19_CASE_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, lo, hi in Q19_CASES
+)
+
+# TPC-H Q19 shape (see disjunctive_brand_revenue): the OR-of-ANDs
+# predicate evaluated over the identical cents quantization.
+SQL_ORACLES["disjunctive_brand_revenue"] = f"""
+    SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                        * 100) AS BIGINT)), 0) AS BIGINT)
+               AS revenue_cents,
+           CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                        * 100) AS BIGINT)), 0) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_CASE_SQL}
+"""
+
 # TPC-H Q17 shape (see small_qty_brand_revenue): the 0.2*AVG threshold
 # is the exact integer cross-multiply 5*qty*n < sum on both sides.
 SQL_ORACLES["small_qty_brand_revenue"] = f"""
@@ -6651,6 +6832,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "nation_market_share": nation_market_share,
     "red_part_profit": red_part_profit,
     "small_qty_brand_revenue": small_qty_brand_revenue,
+    "top_supplier_revenue": top_supplier_revenue,
+    "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
 }
