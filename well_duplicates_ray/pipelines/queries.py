@@ -3352,6 +3352,68 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q16_EXCL_BRAND = "Brand#13"  # Q16 shape: brand excluded from the count
+Q16_EXCL_NATION = 3  # suppliers of this nation are excluded (NOT IN)
+
+
+def supplier_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Grouped COUNT DISTINCT with a NOT-IN exclusion over a
+    fact x dimension join (TPC-H Q16 shape): how many distinct
+    qualifying suppliers ship each (brand, size) combination.
+
+    Scale shape: the exclusion suppkey set and the partkey ->
+    (brand, size) map are broadcasts; each batch filters, attaches,
+    and DEDUPES to its distinct (brand, size, suppkey) triples BEFORE
+    the shuffle (the count-distinct pre-aggregation), so the two-level
+    groupby moves at most one row per distinct triple per batch, never
+    one per lineitem."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    part = part.filter(
+        pc.invert(pc.equal(part["p_brand"], Q16_EXCL_BRAND))
+    ).combine_chunks()
+    pref = ray.put(part)
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    excl = sup.filter(
+        pc.equal(sup["s_nationkey"], Q16_EXCL_NATION)
+    )["s_suppkey"].combine_chunks()
+    eref = ray.put(excl)
+
+    def triples(t: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.fill_null(
+                pc.is_in(t["l_suppkey"], value_set=ray.get(eref)), False
+            )
+        )
+        t = t.filter(keep)
+        p = ray.get(pref)
+        pos = pc.index_in(t["l_partkey"], value_set=p["p_partkey"])
+        out = pa.table(
+            {
+                "p_brand": p["p_brand"].take(pos),
+                "p_size": pc.cast(p["p_size"].take(pos), pa.int64()),
+                "s_suppkey": t["l_suppkey"],
+            }
+        )
+        out = out.filter(pc.is_valid(out["p_brand"]))
+        # per-batch distinct: the count-distinct pre-aggregation
+        return out.group_by(
+            ["p_brand", "p_size", "s_suppkey"]
+        ).aggregate([])
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(triples, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "s_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+    )
+
+
 Q15_QUARTER_LO = "1996-01-01"  # Q15's one-quarter shipdate window
 Q15_QUARTER_HI = "1996-04-01"
 
@@ -5742,6 +5804,20 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# TPC-H Q16 shape (see supplier_diversity): grouped COUNT DISTINCT
+# with the NOT-IN exclusion; p_size cast to BIGINT on both sides.
+SQL_ORACLES["supplier_diversity"] = f"""
+    SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier
+          WHERE s_nationkey = {Q16_EXCL_NATION}
+      )
+    GROUP BY 1, 2
+"""
+
 # TPC-H Q15 shape (see top_supplier_revenue): argmax WITH ties over
 # exact integer revenue — the correlated "= (SELECT MAX(...))".
 SQL_ORACLES["top_supplier_revenue"] = f"""
@@ -6833,6 +6909,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "red_part_profit": red_part_profit,
     "small_qty_brand_revenue": small_qty_brand_revenue,
     "top_supplier_revenue": top_supplier_revenue,
+    "supplier_diversity": supplier_diversity,
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
