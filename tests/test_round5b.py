@@ -865,3 +865,20 @@ def test_top_supplier_revenue_returns_all_ties(ray_session, tmp_path):
     got = q.top_supplier_revenue(str(d)).to_pylist()
     assert sorted((r["s_suppkey"], r["total_revenue_cents"]) for r in got) \
         == [(1, 20000), (2, 20000)]
+
+
+def test_top_term_per_doc_join_path_matches_broadcast(ray_session):
+    """Forcing the df attach to the token hash join + doc-hash
+    partitioned argmax must reproduce the broadcast per-batch argmax."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    base = _sorted_df(q.top_term_per_doc(SF_DIR))
+    assert len(base) > 0
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(q, "DF_BROADCAST_GATE", 0)
+        joined = _sorted_df(q.top_term_per_doc(SF_DIR))
+    finally:
+        mp.undo()
+    pd.testing.assert_frame_equal(base, joined)

@@ -3352,6 +3352,110 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+DF_BROADCAST_GATE = 2_000_000  # document rows: broadcast df below
+
+
+def top_term_per_doc(sf_dir: str) -> ray.data.Dataset:
+    """Per-document signature term (text-analysis op): for every
+    document, its most-frequent-rarest token — argmax by (tf DESC,
+    df ASC, token ASC). The TF-IDF argmax without the log: no float
+    ever enters the ordering, only exact integers and bytes, so the
+    winner is bit-deterministic.
+
+    Scale shape: each document lives in ONE batch, so the per-batch
+    group_by((doc_id, token)) IS the global tf — and its rows are the
+    globally-distinct (doc, token) pairs, so document frequency is one
+    token-keyed groupby-count over one row per distinct pair (the
+    count-distinct pre-aggregation for free). Below the gate the
+    vocabulary-sized df table broadcasts and the argmax runs per batch
+    (doc-local by construction); above it df attaches by a token hash
+    join — which destroys doc locality — and the argmax runs in
+    data-sized doc-hash partitions (the windowed-family kernel shape,
+    one task per PARTITION, never one per doc)."""
+    from well_duplicates_ray.functions.phash import mix64
+
+    def tf_stage(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy()
+        docs = pa.array(
+            np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        )
+        flat = pc.list_flatten(toks)
+        tbl = pa.table({"doc_id": docs, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = tbl.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "tf": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    tf = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tf_stage, batch_format="pyarrow"
+    )
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+
+    def argmax_kernel(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        tfv = t["tf"].to_numpy(zero_copy_only=False)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        toks = np.asarray(t["token"].to_pylist(), dtype=object)
+        order = np.lexsort((toks, dfv, -tfv, docs))
+        sd = docs[order]
+        first = np.ones(len(sd), dtype=bool)
+        if len(sd) > 1:
+            first[1:] = sd[1:] != sd[:-1]
+        idx = pa.array(order[first])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(idx),
+                "token": t["token"].take(idx),
+                "tf": t["tf"].take(idx),
+                "df": t["df"].take(idx),
+            }
+        )
+
+    if _table_rows(sf_dir, "documents") <= DF_BROADCAST_GATE:
+        dft = pa.concat_tables(
+            [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        dref = ray.put(dft)
+
+        def attach_argmax(t: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            pos = pc.index_in(t["token"], value_set=d["token"])
+            t = t.append_column("df", d["df"].take(pos))
+            return argmax_kernel(t)
+
+        return tf.map_batches(attach_argmax, batch_format="pyarrow")
+
+    joined = tf.join(
+        df, "inner",
+        _window_nparts(_table_rows(sf_dir, "documents")),
+        on=("token",),
+    )
+    nparts = _window_nparts(_table_rows(sf_dir, "documents"))
+
+    def pid_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (mix64(d.view(np.uint64), 0x7D0C) % np.uint64(nparts)).astype(
+            np.int32
+        )
+        return t.append_column("_pid", pa.array(p, pa.int32()))
+
+    return (
+        joined.map_batches(pid_of, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(
+            lambda t: argmax_kernel(t.drop_columns(["_pid"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 Q16_EXCL_BRAND = "Brand#13"  # Q16 shape: brand excluded from the count
 Q16_EXCL_NATION = 3  # suppliers of this nation are excluded (NOT IN)
 
@@ -5804,6 +5908,29 @@ SQL_ORACLES["label_centroids"] = f"""
     FROM s
 """
 
+# Per-doc signature term (see top_term_per_doc): argmax by
+# (tf DESC, df ASC, token ASC) — integers and bytes only.
+SQL_ORACLES["top_term_per_doc"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(COALESCE(text, ''), '\s+'))
+                 AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    )
+    SELECT doc_id, token, tf, df FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC,
+                                         tf.token ASC) AS rn
+      FROM tf JOIN df USING (token)
+    ) WHERE rn = 1
+"""
+
 # TPC-H Q16 shape (see supplier_diversity): grouped COUNT DISTINCT
 # with the NOT-IN exclusion; p_size cast to BIGINT on both sides.
 SQL_ORACLES["supplier_diversity"] = f"""
@@ -6910,6 +7037,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "small_qty_brand_revenue": small_qty_brand_revenue,
     "top_supplier_revenue": top_supplier_revenue,
     "supplier_diversity": supplier_diversity,
+    "top_term_per_doc": top_term_per_doc,
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
