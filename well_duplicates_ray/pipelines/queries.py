@@ -2433,6 +2433,40 @@ def event_interarrival(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def next_event_gap(sf_dir: str) -> ray.data.Dataset:
+    """LEAD window (the forward complement of event_interarrival's
+    LAG): microseconds until the user's NEXT event, -1 for each user's
+    last event (COALESCE'd on both sides). Same partition-parallel
+    shape: one task per user-hash partition, one shifted-difference
+    pass answers every LEAD."""
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid, ts, eid, _order = _sorted_events(g)
+        n = uid.size
+        gap = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            gap[:-1] = ts[1:] - ts[:-1]
+        lasts = np.zeros(n, dtype=bool)
+        if n:
+            lasts[-1] = True
+            if n > 1:
+                lasts[:-1] = uid[1:] != uid[:-1]
+        gap[lasts] = -1  # segment lasts have no LEAD
+        return pa.table(
+            {"event_id": pa.array(eid), "next_gap_us": pa.array(gap)}
+        )
+
+    nparts = _window_nparts(_table_rows(sf_dir, "events"))
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(lambda t: _events_pid(t, 7576, nparts),
+                     batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(gaps, batch_format="pyarrow")
+        .select_columns(["event_id", "next_gap_us"])
+    )
+
+
 def user_value_drift(sf_dir: str) -> ray.data.Dataset:
     """FIRST_VALUE / LAST_VALUE window frame (ROWS BETWEEN UNBOUNDED
     PRECEDING AND UNBOUNDED FOLLOWING): each user's first and last event
@@ -5743,6 +5777,15 @@ SQL_ORACLES["event_interarrival"] = """
     FROM events
 """
 
+SQL_ORACLES["next_event_gap"] = """
+    SELECT event_id,
+           COALESCE(date_diff('microsecond', ts,
+                    lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)),
+                    -1) AS next_gap_us
+    FROM events
+"""
+
 SQL_ORACLES["user_value_drift"] = """
     SELECT DISTINCT user_id,
            CAST(FLOOR(FIRST_VALUE(value) OVER w * 100) AS BIGINT)
@@ -7038,6 +7081,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "top_supplier_revenue": top_supplier_revenue,
     "supplier_diversity": supplier_diversity,
     "top_term_per_doc": top_term_per_doc,
+    "next_event_gap": next_event_gap,
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
