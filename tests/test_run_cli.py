@@ -122,3 +122,30 @@ def test_cli_empty_input(ray_session, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["n_rows"] == 0
+
+
+def test_row_format_seam_roundtrip(ray_session, tmp_path):
+    """CSV and JSONL extensions dispatch through the same read/write
+    seam: a write_table/read_table roundtrip preserves rows, and the
+    row-format read prunes columns immediately after the scan."""
+    import pyarrow as pa
+    import ray.data
+
+    from well_duplicates_ray.io import read_table, write_table
+
+    src = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([10.5, 20.25, 30.0], pa.float64()),
+            "s": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    for ext in ("csv", "jsonl"):
+        out = str(tmp_path / f"t_{ext}.{ext}")
+        write_table(ray.data.from_arrow(src), out)
+        back = read_table(out).to_pandas().sort_values("k")
+        assert back["k"].tolist() == [1, 2, 3]
+        assert back["s"].tolist() == ["a", "b", "c"]
+        assert back["v"].tolist() == [10.5, 20.25, 30.0]
+        pruned = read_table(out, columns=["k", "s"])
+        assert sorted(pruned.schema().names) == ["k", "s"]
