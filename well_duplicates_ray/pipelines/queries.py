@@ -1977,6 +1977,72 @@ def qty_price_regr_by_flag(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def order_price_spread(sf_dir: str) -> ray.data.Dataset:
+    """Grouped dispersion (SQL VAR_SAMP / STDDEV_SAMP shape) of the
+    dollar-floored order price per priority — the remaining classic
+    second-moment aggregate next to CORR/REGR, same exact-integer-moment
+    machinery as qty_price_corr_by_flag (which see for the quantization
+    rationale):
+
+        var_samp = (n*sxx - sx*sx) / (n*(n-1))
+        stddev   = sqrt(var_samp)
+
+    The variance is ONE float division of two exact integers (the
+    textbook sum((x-mean)^2)/(n-1) two-pass form would divide by n
+    first and lose bit-stability); the stddev is ONE correctly-rounded
+    IEEE sqrt of that double, so both are bit-identical to the SQL
+    restatement. Each map_batches task pre-aggregates to |priorities|
+    partial rows, the Sum merge shuffles O(tasks x priorities) rows,
+    and the 5-row finish runs in Python arbitrary-precision ints."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = np.floor(t["o_totalprice"].to_numpy()).astype(np.int64)
+        g = (
+            pa.table(
+                {"o_orderpriority": t["o_orderpriority"],
+                 "x": x, "xx": x * x}
+            )
+            .group_by("o_orderpriority")
+            .aggregate([("x", "sum"), ("xx", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["o_orderpriority", "sx", "sxx", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import math
+
+        prios, ns, variances, stds = [], [], [], []
+        for r in t.to_pylist():  # <= |priorities| rows, exact Python ints
+            n, sx, sxx = r["n"], r["sx"], r["sxx"]
+            prios.append(r["o_orderpriority"])
+            ns.append(n)
+            if n > 1:
+                v = float(n * sxx - sx * sx) / float(n * (n - 1))
+                variances.append(v)
+                stds.append(math.sqrt(v))
+            else:
+                variances.append(None)
+                stds.append(None)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(prios, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "var_price": pa.array(variances, pa.float64()),
+                "std_price": pa.array(stds, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def orders_above_cust_avg(sf_dir: str) -> ray.data.Dataset:
     """Orders strictly above their own customer's average order value —
     the classic correlated scalar subquery, decorrelated into ONE
@@ -5413,6 +5479,33 @@ SQL_ORACLES["qty_price_regr_by_flag"] = """
     FROM s
 """
 
+# VAR_SAMP / STDDEV_SAMP restated over exact integer moments: one
+# division of two exact integers, one IEEE sqrt (see order_price_spread).
+SQL_ORACLES["order_price_spread"] = """
+    WITH q AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS x
+        FROM orders
+    ), s AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx
+        FROM q GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n > 1
+                THEN CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE)
+           END AS var_price,
+           CASE WHEN n > 1
+                THEN SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE))
+           END AS std_price
+    FROM s
+"""
+
 # Correlated scalar subquery (orders above their customer's average),
 # restated as exact integer arithmetic on half-cents-floored prices so
 # the strict comparison is order-independent on both sides (see
@@ -5558,6 +5651,47 @@ SQL_ORACLES["doc_rolling_fingerprint"] = f"""
            CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
                      THEN hv - {_M64}::HUGEINT ELSE hv END AS BIGINT) AS fp64
     FROM h
+"""
+
+# Per-source XOR checksum over the same rolling fingerprints: XOR is
+# exact on int64, so the only restated arithmetic is the fingerprint
+# itself (identical CTE chain as doc_rolling_fingerprint, which see).
+SQL_ORACLES["source_checksum"] = f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source, COALESCE(text,'') AS t FROM documents),
+    pw(k, p) AS (
+      SELECT 0, 1::HUGEINT
+      UNION ALL
+      SELECT k + 1, (p * 1099511628211) % {_M64} FROM pw
+      WHERE k < (SELECT COALESCE(max(len(t)), 1) FROM d)
+    ),
+    chars AS (
+      SELECT doc_id, len(t) AS L, t,
+             unnest(generate_series(1, len(t))) AS i
+      FROM d WHERE len(t) > 0
+    ),
+    contrib AS (
+      SELECT c.doc_id,
+             (ord(substr(c.t, c.i, 1))::HUGEINT * pw.p) % {_M64} AS v
+      FROM chars c JOIN pw ON pw.k = c.L - c.i
+    ),
+    sums AS (SELECT doc_id, SUM(v) % {_M64} AS s FROM contrib GROUP BY doc_id),
+    h AS (
+      SELECT d.doc_id, d.source,
+             ((((14695981039346656037::HUGEINT * 1099511628211) % {_M64}
+                + COALESCE(s.s, 0)) % {_M64}) * 1099511628211
+              + len(d.t)) % {_M64} AS hv
+      FROM d LEFT JOIN sums s USING (doc_id)
+    ),
+    fp AS (
+      SELECT source,
+             CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                       THEN hv - {_M64}::HUGEINT ELSE hv END AS BIGINT)
+               AS fp64
+      FROM h
+    )
+    SELECT source, COUNT(*) AS n_docs, BIT_XOR(fp64) AS checksum64
+    FROM fp GROUP BY source
 """
 
 SQL_ORACLES["neardup_documents_minhash"] = f"""
@@ -6601,6 +6735,57 @@ def doc_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def source_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Per-source distributed content checksum: doc count + the XOR of
+    every document's 64-bit rolling fingerprint — the order-independent
+    integrity aggregate a 100 TB ingest uses to certify that two
+    copies/runs of a corpus slice saw the identical documents without
+    shuffling any payload.
+
+    XOR is commutative/associative and exact on int64, so the merge is
+    trivially parallel and bit-stable with NO quantization story: each
+    map_batches task folds its batch to |sources| partial rows (one
+    np.bitwise_xor.reduce per group over the already-vectorized
+    fingerprint column), and a single small map_groups XORs the
+    partials. Only O(tasks x sources) int64 rows ever shuffle."""
+    from well_duplicates_ray.functions.textstats import rolling_fingerprint
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = rolling_fingerprint(df["text"]).to_numpy()
+        out = pd.DataFrame({"source": df["source"].values, "fp": fp})
+        g = out.groupby("source", sort=False)
+        return pd.DataFrame(
+            {
+                "source": g.size().index,
+                "x": g["fp"].apply(
+                    lambda v: np.bitwise_xor.reduce(v.to_numpy())
+                ).to_numpy(),
+                "n": g.size().to_numpy().astype(np.int64),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array([t["source"][0].as_py()], pa.string()),
+                "n_docs": pa.array(
+                    [int(t["n"].to_numpy().sum())], pa.int64()
+                ),
+                "checksum64": pa.array(
+                    [int(np.bitwise_xor.reduce(t["x"].to_numpy()))],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def token_count_bpeish(sf_dir: str) -> ray.data.Dataset:
     """GPT-2-style pre-token count (words + punctuation marks)."""
     from well_duplicates_ray.functions.textstats import token_counts
@@ -7036,6 +7221,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "order_price_median_cont": order_price_median_cont,
     "qty_price_corr_by_flag": qty_price_corr_by_flag,
     "qty_price_regr_by_flag": qty_price_regr_by_flag,
+    "order_price_spread": order_price_spread,
+    "source_checksum": source_checksum,
     "orders_above_cust_avg": orders_above_cust_avg,
     "nation_intersect_all": nation_intersect_all,
     "nation_except_all": nation_except_all,
