@@ -85,6 +85,71 @@ def test_source_checksum_oracle(ray_session):
     assert got["source"].is_unique
 
 
+def test_funnel_view_to_purchase_oracle(ray_session):
+    """Two-step funnel conversion: bit-exact int64 microsecond output vs
+    the SQL restatement, one row per converted user."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["funnel_view_to_purchase"])
+    got = _sorted_df(q.funnel_view_to_purchase(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
+    assert got["user_id"].is_unique
+    assert (got["conv_gap_us"] > 0).all()
+
+
+def test_funnel_sequence_edge_cases(ray_session, tmp_path):
+    """Synthesized streams: purchase BEFORE any view does not convert,
+    purchase at exactly the first-view timestamp does not convert
+    (strict >), views-only and purchases-only users do not convert, and
+    the first qualifying purchase (not a later one) is reported."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    us = 1_000_000  # one second in microseconds
+
+    def ts(sec):
+        return sec * us
+
+    rows = [
+        # user 1: view@1, purchase@5, purchase@3 -> converts at 3
+        (1, ts(1), "view"), (1, ts(5), "purchase"), (1, ts(3), "purchase"),
+        # user 2: purchase@1, view@2 -> purchase precedes view, no conv
+        (2, ts(1), "purchase"), (2, ts(2), "view"),
+        # user 3: view@4, purchase@4 (same instant) -> strict >, no conv
+        (3, ts(4), "view"), (3, ts(4), "purchase"),
+        # user 4: views only
+        (4, ts(1), "view"), (4, ts(2), "view"),
+        # user 5: purchases only
+        (5, ts(1), "purchase"),
+        # user 6: view@2 then view@1 (first view is 1), purchase@2 -> conv
+        (6, ts(2), "view"), (6, ts(1), "view"), (6, ts(2), "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, d / "events.parquet")
+    got = _sorted_df(q.funnel_view_to_purchase(str(d)))
+    assert sorted(got["user_id"].tolist()) == [1, 6]
+    by_u = got.set_index("user_id")
+    assert by_u.loc[1, "first_view_us"] == ts(1)
+    assert by_u.loc[1, "first_purchase_us"] == ts(3)
+    assert by_u.loc[1, "conv_gap_us"] == ts(2)
+    assert by_u.loc[6, "first_view_us"] == ts(1)
+    assert by_u.loc[6, "first_purchase_us"] == ts(2)
+
+
 def test_source_checksum_even_multiplicity_cancels(ray_session, tmp_path):
     """XOR self-inverse property, end to end: a source whose every text
     appears an even number of times checksums to exactly 0, regardless

@@ -2582,6 +2582,58 @@ def user_value_drift(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def funnel_view_to_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Two-step funnel conversion: every user whose first 'view' event
+    is strictly followed by a 'purchase', with the first qualifying
+    purchase and the conversion gap — the sequence-pattern shape
+    (SQL MATCH_RECOGNIZE's simplest case) product analytics runs over
+    event streams.
+
+    Scale shape: user-hash partitions (all of a user's events land in
+    ONE task), and the kernel needs NO sort at all — first-view is one
+    np.minimum.at over the view rows, conversion is a second
+    np.minimum.at over purchase rows masked by ts > first_view[user]
+    (users with no view hold INT64_MAX there, so the strict comparison
+    excludes them for free). Everything is int64 microsecond compares,
+    so the output is hash-stable with no float anywhere."""
+    IMAX = np.iinfo(np.int64).max
+
+    def funnel(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = _ts_i64(g["ts"])
+        et = pc.fill_null(g["event_type"].combine_chunks(), "")
+        uniq, codes = np.unique(uid, return_inverse=True)
+        first_view = np.full(uniq.size, IMAX, dtype=np.int64)
+        vm = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        np.minimum.at(first_view, codes[vm], ts[vm])
+        pm = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        pcodes, pts = codes[pm], ts[pm]
+        ok = pts > first_view[pcodes]
+        conv = np.full(uniq.size, IMAX, dtype=np.int64)
+        np.minimum.at(conv, pcodes[ok], pts[ok])
+        have = conv != IMAX
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[have]),
+                "first_view_us": pa.array(first_view[have]),
+                "first_purchase_us": pa.array(conv[have]),
+                "conv_gap_us": pa.array(conv[have] - first_view[have]),
+            }
+        )
+
+    nparts = _window_nparts(_table_rows(sf_dir, "events"))
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(lambda t: _events_pid(t, 5657, nparts),
+                     batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(funnel, batch_format="pyarrow")
+        .select_columns(
+            ["user_id", "first_view_us", "first_purchase_us", "conv_gap_us"]
+        )
+    )
+
+
 def event_type_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov transition matrix: global counts of (previous event_type ->
     event_type) steps inside each user's time-ordered stream — the LAG
@@ -5911,6 +5963,26 @@ SQL_ORACLES["event_interarrival"] = """
     FROM events
 """
 
+# Two-step funnel: first 'view', then the first strictly-later
+# 'purchase', all int64 microsecond arithmetic (see
+# funnel_view_to_purchase).
+SQL_ORACLES["funnel_view_to_purchase"] = """
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+                          AND epoch_us(e.ts) > v.first_view_us
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT p.user_id, v.first_view_us, p.first_purchase_us,
+           p.first_purchase_us - v.first_view_us AS conv_gap_us
+    FROM p JOIN v USING (user_id)
+"""
+
 SQL_ORACLES["next_event_gap"] = """
     SELECT event_id,
            COALESCE(date_diff('microsecond', ts,
@@ -7269,6 +7341,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "supplier_diversity": supplier_diversity,
     "top_term_per_doc": top_term_per_doc,
     "next_event_gap": next_event_gap,
+    "funnel_view_to_purchase": funnel_view_to_purchase,
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
