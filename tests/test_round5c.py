@@ -150,6 +150,65 @@ def test_funnel_sequence_edge_cases(ray_session, tmp_path):
     assert by_u.loc[6, "first_purchase_us"] == ts(2)
 
 
+def test_retention_cohorts_oracle(ray_session):
+    """Cohort triangle: bit-exact vs the SQL restatement; offset 0 must
+    exist for every cohort (the signup event itself is activity)."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["retention_cohorts"])
+    got = _sorted_df(q.retention_cohorts(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
+    cohorts = set(got["cohort_week"])
+    zero_off = set(got.loc[got["week_offset"] == 0, "cohort_week"])
+    assert cohorts == zero_off
+
+
+def test_retention_cohorts_presignup_excluded(ray_session, tmp_path):
+    """Synthesized stream: activity in weeks BEFORE a user's signup week
+    is excluded; users who never sign up contribute nothing; a user
+    active in signup week and two weeks later fills offsets 0 and 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    wk = 604_800_000_000  # one week in microseconds
+
+    def ts(week, off_us=0):
+        return week * wk + off_us
+
+    rows = [
+        # user 1: click in week 4 (pre-signup, excluded), signup week 5,
+        # two events week 5 (one distinct-week cell), view week 7
+        (1, ts(4), "click"), (1, ts(5), "signup"),
+        (1, ts(5, 60), "view"), (1, ts(7), "view"),
+        # user 2: never signs up
+        (2, ts(5), "click"), (2, ts(6), "click"),
+        # user 3: signup week 5, active week 7 too -> offsets 0 and 2
+        (3, ts(5, 99), "signup"), (3, ts(7, 5), "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, d / "events.parquet")
+    got = _sorted_df(q.retention_cohorts(str(d)))
+    cells = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in got.itertuples()
+    }
+    assert cells == {(5, 0): 2, (5, 2): 2}
+
+
 def test_source_checksum_even_multiplicity_cancels(ray_session, tmp_path):
     """XOR self-inverse property, end to end: a source whose every text
     appears an even number of times checksums to exactly 0, regardless

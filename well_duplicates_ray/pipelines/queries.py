@@ -2634,6 +2634,64 @@ def funnel_view_to_purchase(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+WEEK_US = 7 * 86_400 * 1_000_000  # one epoch week in microseconds
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Retention cohort matrix: users bucketed by the epoch week of
+    their first 'signup' event, counted as active in each subsequent
+    week they have ANY event — the (cohort_week, week_offset, n_users)
+    triangle every product-analytics stack computes.
+
+    Scale shape, two tricks stacked: user-hash partitions make the
+    per-user cohort and the per-(user, week) dedupe LOCAL to one task
+    (a distinct-count pushed inside map_groups), and each task
+    pre-aggregates its slice to at most |cohorts| x |weeks| partial
+    rows via np.unique on packed (cohort, offset) ids — the
+    event_type_transitions pre-aggregation applied to a distinct-count,
+    so the global groupby-sum shuffles O(partitions x weeks^2) tiny
+    rows regardless of event volume. Week ids are exact int64 floor
+    divisions of epoch microseconds; no float anywhere."""
+    IMAX = np.iinfo(np.int64).max
+
+    def cohort(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        wk = _ts_i64(g["ts"]) // WEEK_US
+        et = pc.fill_null(g["event_type"].combine_chunks(), "")
+        uniq, codes = np.unique(uid, return_inverse=True)
+        cw = np.full(uniq.size, IMAX, dtype=np.int64)
+        sm = pc.equal(et, "signup").to_numpy(zero_copy_only=False)
+        np.minimum.at(cw, codes[sm], wk[sm])
+        # distinct (user, week) pairs, local to this partition
+        pair = np.unique(codes.astype(np.int64) * (wk.max() + 1 if wk.size
+                                                   else 1) + wk)
+        pu = pair // (wk.max() + 1 if wk.size else 1)
+        pw = pair % (wk.max() + 1 if wk.size else 1)
+        keep = (cw[pu] != IMAX) & (pw >= cw[pu])
+        ckey = cw[pu[keep]]
+        off = pw[keep] - ckey
+        span = off.max() + 1 if off.size else 1
+        packed, counts = np.unique(ckey * span + off, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(packed // span),
+                "week_offset": pa.array(packed % span),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    nparts = _window_nparts(_table_rows(sf_dir, "events"))
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(lambda t: _events_pid(t, 9181, nparts),
+                     batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(cohort, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
 def event_type_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov transition matrix: global counts of (previous event_type ->
     event_type) steps inside each user's time-ordered stream — the LAG
@@ -5963,6 +6021,26 @@ SQL_ORACLES["event_interarrival"] = """
     FROM events
 """
 
+# Retention cohort triangle: signup-week cohort x active-week offset,
+# distinct users per cell; all int64 floor divisions of epoch
+# microseconds (see retention_cohorts).
+SQL_ORACLES["retention_cohorts"] = """
+    WITH s AS (
+        SELECT user_id,
+               MIN(epoch_us(ts) // 604800000000) AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+        FROM events
+    )
+    SELECT s.cw AS cohort_week, a.w - s.cw AS week_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN s USING (user_id)
+    WHERE a.w >= s.cw
+    GROUP BY s.cw, a.w - s.cw
+"""
+
 # Two-step funnel: first 'view', then the first strictly-later
 # 'purchase', all int64 microsecond arithmetic (see
 # funnel_view_to_purchase).
@@ -7342,6 +7420,7 @@ SQL_QUERIES: dict[str, Callable] = {
     "top_term_per_doc": top_term_per_doc,
     "next_event_gap": next_event_gap,
     "funnel_view_to_purchase": funnel_view_to_purchase,
+    "retention_cohorts": retention_cohorts,
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "top_tokens_per_lang": top_tokens_per_lang,
     "region_priority_matrix": region_priority_matrix,
