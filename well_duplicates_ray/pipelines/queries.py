@@ -2755,6 +2755,151 @@ def event_type_transitions(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def mode_event_type_per_user(sf_dir: str) -> ray.data.Dataset:
+    """MODE() per group: each user's most frequent event_type with its
+    count, ties broken by the lexicographically smallest type — the
+    statistical-mode aggregate (SURVEY.md §2.B grouped-aggregate family)
+    that SQL spells as a ROW_NUMBER-over-counts QUALIFY.
+
+    Scale shape: user-hash partitions co-locate each user's rows, so the
+    (user, type) counting AND the per-user argmax are both local to ONE
+    task — a single shuffle end to end, never a groupby per (user, type)
+    followed by a second per-user exchange. In-task work is one
+    dictionary-encode + np.unique over packed (user, type) codes, then a
+    lexsort whose per-user first row IS the mode (count DESC, type ASC)."""
+
+    def mode(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "mode_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if uid.size == 0:
+            return empty
+        et = pc.fill_null(g["event_type"].combine_chunks(), "")
+        enc = pc.dictionary_encode(et)
+        types = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        k = len(types)
+        if k == 0:
+            return empty
+        # dictionary codes are first-appearance order; remap to
+        # lexicographic rank so the tie-break compares STRINGS
+        lex = np.empty(k, np.int64)
+        lex[np.argsort(types, kind="stable")] = np.arange(k)
+        lcode = lex[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        uuid, ucode = np.unique(uid, return_inverse=True)
+        pair, cnt = np.unique(ucode.astype(np.int64) * k + lcode,
+                              return_counts=True)
+        pu, pt = pair // k, pair % k
+        order = np.lexsort((pt, -cnt, pu))
+        pu_s = pu[order]
+        sel = np.flatnonzero(np.r_[True, pu_s[1:] != pu_s[:-1]])
+        types_lex = types[np.argsort(types, kind="stable")]
+        return pa.table(
+            {
+                "user_id": pa.array(uuid[pu_s[sel]]),
+                "mode_type": pa.array(
+                    types_lex[pt[order][sel]].tolist(), pa.string()
+                ),
+                "n": pa.array(cnt[order][sel].astype(np.int64)),
+            }
+        )
+
+    nparts = _window_nparts(_table_rows(sf_dir, "events"))
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(lambda t: _events_pid(t, 6263, nparts),
+                     batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(mode, batch_format="pyarrow")
+        .select_columns(["user_id", "mode_type", "n"])
+    )
+
+
+def events_dow_hour(sf_dir: str) -> ray.data.Dataset:
+    """Calendar heatmap: event counts by (day-of-week, hour-of-day) —
+    the dual-extraction GROUP BY behind every traffic heatmap
+    (orders_monthly's sibling with a bounded 7x24 key space).
+
+    Scale shape: the key space is 168 cells, so each batch reduces to
+    <= 168 partial rows via ONE np.bincount on packed dow*24+hour ids —
+    the global groupby-sum shuffles O(tasks x 168) rows regardless of
+    event volume. Day-of-week is exact int64 epoch arithmetic
+    ((days + 4) % 7: epoch day 0 was a Thursday; Sunday = 0 matches
+    DuckDB's dayofweek)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = _ts_i64(t["ts"])
+        dow = (us // 86_400_000_000 + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        cnt = np.bincount(dow * 24 + hour, minlength=168)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "dow": pa.array(nz // 24),
+                "hour": pa.array(nz % 24),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+
+DISTINCT_SHINGLE_K = 8
+
+
+def doc_distinct_shingles(sf_dir: str) -> ray.data.Dataset:
+    """Per-document distinct k-gram cardinality (k=8): the exact set
+    size under every shingle sketch — what MinHash estimates, computed
+    exactly (SURVEY.md §2.B text-analysis family).
+
+    EXACT, not hashed: each 8-byte ASCII window packs BIJECTIVELY into
+    one uint64 (base-256 horner fills the word exactly), so distinct
+    uint64s == distinct substrings — no collision exposure at all. The
+    per-row distinct count then runs as ONE lexsort + boundary diff over
+    the whole batch (rows never loop); embarrassingly parallel, no
+    shuffle."""
+    from well_duplicates_ray.functions.text import _segment_arange, flat_utf8
+
+    K = DISTINCT_SHINGLE_K
+
+    def kernel(t: pa.Table) -> pa.Table:
+        flat, offsets = flat_utf8(t["text"])
+        base = int(offsets[0])
+        data = flat[base : int(offsets[-1])]
+        lens = np.diff(offsets)
+        counts = np.maximum(lens - K + 1, 0)
+        n_docs = len(lens)
+        out = np.zeros(n_docs, dtype=np.int64)
+        m = data.size - K + 1
+        if m > 0 and counts.sum() > 0:
+            f64 = data.astype(np.uint64)
+            acc = f64[:m].copy()
+            for j in range(1, K):
+                acc <<= np.uint64(8)
+                acc |= f64[j : j + m]
+            starts = np.repeat((offsets[:-1] - base).astype(np.int64), counts)
+            vals = acc[starts + _segment_arange(counts)]
+            rowid = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            order = np.lexsort((vals, rowid))
+            rs, vs = rowid[order], vals[order]
+            new = np.r_[True, (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])]
+            out = np.bincount(rs[new], minlength=n_docs).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_shingles": pa.array(out)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
 def supplier_names_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
     per nation, the comma-joined sorted supplier names plus the count.
@@ -6100,6 +6245,55 @@ SQL_ORACLES["event_type_transitions"] = """
     GROUP BY prev_type, next_type
 """
 
+# Mode per user: most frequent event_type, ties to the smallest string
+# (see mode_event_type_per_user — the lexsort first-row tie-break).
+SQL_ORACLES["mode_event_type_per_user"] = """
+    WITH c AS (
+        SELECT user_id, COALESCE(event_type, '') AS et,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, et AS mode_type, n
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, et) = 1
+"""
+
+# DuckDB dayofweek: Sunday = 0 .. Saturday = 6 — matches the engine's
+# (epoch_days + 4) % 7 (1970-01-01 was a Thursday).
+SQL_ORACLES["events_dow_hour"] = """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+"""
+
+# Distinct 8-gram count per document; the testdata text is pure ASCII
+# (length == strlen for every row), so SQL's per-CHARACTER substr equals
+# the engine's per-BYTE windows. generate_series is used in SCALAR form
+# (returns a per-row LIST; the lateral table form can't take column
+# args) and exploded with unnest; the LEFT JOIN keeps sub-8-char docs
+# at 0 (empty list -> no unnested rows -> doc dropped from the inner
+# aggregate).
+SQL_ORACLES["doc_distinct_shingles"] = f"""
+    SELECT d.doc_id, COALESCE(s.n, 0) AS n_shingles
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT substr(text, CAST(i AS INTEGER),
+                                          {DISTINCT_SHINGLE_K})) AS BIGINT)
+                   AS n
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, length(text) - {DISTINCT_SHINGLE_K - 1})) AS i
+            FROM documents
+        )
+        GROUP BY doc_id
+    ) s USING (doc_id)
+"""
+
 SQL_ORACLES["supplier_names_by_nation"] = """
     SELECT n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
@@ -7383,6 +7577,9 @@ SQL_QUERIES: dict[str, Callable] = {
     "events_moving_sum3": events_moving_sum3,
     "event_interarrival": event_interarrival,
     "event_type_transitions": event_type_transitions,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "events_dow_hour": events_dow_hour,
+    "doc_distinct_shingles": doc_distinct_shingles,
     "user_value_drift": user_value_drift,
     "supplier_names_by_nation": supplier_names_by_nation,
     "orders_rollup": orders_rollup,
