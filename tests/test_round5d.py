@@ -1,7 +1,9 @@
 """Round-5 additions, batch D: per-user MODE() aggregate
 (``mode_event_type_per_user``), the dow x hour calendar heatmap
-(``events_dow_hour``) and the exact per-document distinct-shingle
-cardinality (``doc_distinct_shingles``)."""
+(``events_dow_hour``), the exact per-document distinct-shingle
+cardinality (``doc_distinct_shingles``), the hopping-window distinct
+user count (``hopping_window_users``) and the vectorized regex
+occurrence count (``doc_capitalized_count``)."""
 
 import duckdb
 import pandas as pd
@@ -157,3 +159,57 @@ def test_doc_distinct_shingles_semantics(ray_session, tmp_path):
     pq.write_table(t, d / "documents.parquet")
     got = _sorted_df(q.doc_distinct_shingles(str(d))).set_index("doc_id")
     assert got["n_shingles"].to_dict() == {0: 0, 1: 1, 2: 1, 3: 2, 4: 8}
+
+
+def test_hopping_window_users_oracle(ray_session):
+    """Hopping-window distinct users: bit-exact vs the CROSS JOIN
+    two-hop SQL restatement."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["hopping_window_users"])
+    got = _sorted_df(q.hopping_window_users(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
+
+
+def test_hopping_window_membership(ray_session, tmp_path):
+    """Every event lands in EXACTLY two 30-min windows: the hop it
+    falls in and the one before; two events from one user in the same
+    hop dedupe to one per window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from well_duplicates_ray.pipelines import queries as q
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    hop = q.HOP_US
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            # user 1 twice inside hop 10; user 2 once in hop 11
+            "ts": pa.array([10 * hop + 5, 10 * hop + 9, 11 * hop + 1],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "a"], pa.string()),
+            "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, d / "events.parquet")
+    got = _sorted_df(q.hopping_window_users(str(d)))
+    cells = {r.win_start_us: r.n_users for r in got.itertuples()}
+    # windows 9 and 10 see user 1; windows 10 and 11 see user 2
+    assert cells == {9 * hop: 1, 10 * hop: 2, 11 * hop: 1}
+
+
+def test_doc_capitalized_count_oracle(ray_session):
+    """Regex occurrence counts: bit-exact vs DuckDB regexp_extract_all
+    (both RE2)."""
+    from well_duplicates_ray.pipelines import queries as q
+
+    want = _oracle_df(q.SQL_ORACLES["doc_capitalized_count"])
+    got = _sorted_df(q.doc_capitalized_count(SF_DIR))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )

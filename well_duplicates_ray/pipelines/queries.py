@@ -2900,6 +2900,70 @@ def doc_distinct_shingles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+HOP_US = 900_000_000  # 15-minute hop; windows span 2 hops (30 min)
+
+
+def hopping_window_users(sf_dir: str) -> ray.data.Dataset:
+    """Sliding (hopping) window COUNT DISTINCT: distinct users per
+    30-minute window hopping every 15 minutes — the overlapping-window
+    streaming aggregate (events_hourly's tumbling sibling where each
+    event belongs to EXACTLY size/hop = 2 windows).
+
+    Scale shape: window assignment is replication-by-2 inside the batch
+    (vectorized concatenate, never a per-row explode), followed by a
+    LOCAL (window, user) dedupe per batch so only unique pairs shuffle —
+    then the two-level distinct-count (dedupe pairs globally, count per
+    window) from distinct_users_per_type. Window starts are exact int64
+    floor divisions of epoch microseconds; emitted unconditionally for
+    both hops (the oracle replicates via a constant 2-row CROSS JOIN,
+    so the two sides agree for any timestamp)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = _ts_i64(t["ts"])
+        w0 = (us // HOP_US) * HOP_US
+        uid = t["user_id"].to_numpy()
+        win = np.concatenate([w0, w0 - HOP_US])
+        u2 = np.concatenate([uid, uid])
+        order = np.lexsort((u2, win))
+        ws, uo = win[order], u2[order]
+        keep = np.r_[True, (ws[1:] != ws[:-1]) | (uo[1:] != uo[:-1])]
+        return pa.table(
+            {
+                "win_start_us": pa.array(ws[keep]),
+                "user_id": pa.array(uo[keep]),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["win_start_us", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["win_start_us"])
+        .groupby("win_start_us")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def doc_capitalized_count(sf_dir: str) -> ray.data.Dataset:
+    """Per-document regex occurrence count ([A-Z][a-z]+ capitalized
+    words): the quality-signal extraction shape where the whole kernel
+    is ONE vectorized RE2 pass (pc.count_substring_regex) — no Python
+    touches a row. Arrow and DuckDB both run RE2 with identical
+    leftmost non-overlapping scan semantics, so the counts are exact on
+    both sides; embarrassingly parallel, no shuffle."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), r"[A-Z][a-z]+"
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_capitalized": n})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
 def supplier_names_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
     per nation, the comma-joined sorted supplier names plus the count.
@@ -6294,6 +6358,31 @@ SQL_ORACLES["doc_distinct_shingles"] = f"""
     ) s USING (doc_id)
 """
 
+# Hopping-window distinct users: every event lands in exactly two
+# 30-min windows (hop 15 min); the constant 2-row CROSS JOIN mirrors the
+# engine's unconditional both-hops emission.
+SQL_ORACLES["hopping_window_users"] = f"""
+    WITH e AS (
+        SELECT DISTINCT
+               (epoch_us(ts) // {HOP_US} - h.k) * {HOP_US}
+                   AS win_start_us,
+               user_id
+        FROM events CROSS JOIN (VALUES (0), (1)) AS h(k)
+    )
+    SELECT win_start_us, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM e GROUP BY win_start_us
+"""
+
+# Both sides are RE2 with leftmost non-overlapping scans, so the counts
+# agree exactly (see doc_capitalized_count).
+SQL_ORACLES["doc_capitalized_count"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                       '[A-Z][a-z]+')) AS BIGINT)
+               AS n_capitalized
+    FROM documents
+"""
+
 SQL_ORACLES["supplier_names_by_nation"] = """
     SELECT n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
@@ -7580,6 +7669,8 @@ SQL_QUERIES: dict[str, Callable] = {
     "mode_event_type_per_user": mode_event_type_per_user,
     "events_dow_hour": events_dow_hour,
     "doc_distinct_shingles": doc_distinct_shingles,
+    "hopping_window_users": hopping_window_users,
+    "doc_capitalized_count": doc_capitalized_count,
     "user_value_drift": user_value_drift,
     "supplier_names_by_nation": supplier_names_by_nation,
     "orders_rollup": orders_rollup,
